@@ -1,0 +1,202 @@
+"""Cloud optics: LUT interpolation in effective radius + two-stream increment.
+
+Mirrors /root/reference/src/optics/cloud_optics.jl (and optics_utils.jl's
+increment_2stream/delta_scale), vectorized over (nlay, ncol) and applied per
+band slice of the (nlay, ngpt, ncol) optics tensors. The cloud LUT varies per
+*band*, not per g-point, so properties are computed once per band and
+broadcast over that band's g-points.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..data.lookups import CloudLookup
+from ..states import CloudState
+
+
+def _eps(dtype) -> float:
+    return float(jnp.finfo(dtype).eps)
+
+
+def delta_scale(tau, ssa, g):
+    """Delta-scaling of two-stream properties (ref optics_utils.jl:169-177)."""
+    eps = _eps(tau.dtype)
+    f = g * g
+    wf = ssa * f
+    tau_s = (1.0 - wf) * tau
+    ssa_s = (ssa - wf) / jnp.maximum(eps, 1.0 - wf)
+    g_s = (g - f) / jnp.maximum(eps, 1.0 - f)
+    return tau_s, ssa_s, g_s
+
+
+def increment_2stream(tau1, ssa1, g1, tau2, ssa2, g2):
+    """Combine two-stream optical properties (ref optics_utils.jl:157-163)."""
+    eps = _eps(tau1.dtype)
+    tau = tau1 + tau2
+    ssa_w = tau1 * ssa1 + tau2 * ssa2
+    g_out = (tau1 * ssa1 * g1 + tau2 * ssa2 * g2) / jnp.maximum(eps, ssa_w)
+    ssa_out = ssa_w / jnp.maximum(eps, tau)
+    return tau, ssa_out, g_out
+
+
+def _rad_interp(table, re, path, rad_lwr, rad_upr, nsize):
+    """Linear interpolation of (ext, ssa, asy) vs effective radius.
+
+    table: (3, nsize, ...) band-sliced LUT; re/path: (nlay, ncol).
+    Returns (tau, tau*ssa, tau*ssa*g), zero where path <= eps
+    (ref cloud_optics.jl:145-213).
+    """
+    dtype = re.dtype
+    eps = _eps(dtype)
+    dr = (rad_upr - rad_lwr) / (nsize - 1)
+    re_c = jnp.clip(re, rad_lwr, rad_upr)
+    loc = jnp.clip(jnp.floor((re_c - rad_lwr) / dr), 0, nsize - 2).astype(jnp.int32)
+    fac = (re_c - rad_lwr - loc * dr) / dr
+    fc1 = 1.0 - fac
+
+    ext = fc1 * table[0, loc] + fac * table[0, loc + 1]
+    ssa = fc1 * table[1, loc] + fac * table[1, loc + 1]
+    asy = fc1 * table[2, loc] + fac * table[2, loc + 1]
+
+    tau = jnp.maximum(ext * path, 0.0)
+    tau_ssa = ssa * tau
+    tau_ssag = asy * tau_ssa
+    active = path > eps
+    z = jnp.zeros_like(tau)
+    return (
+        jnp.where(active, tau, z),
+        jnp.where(active, tau_ssa, z),
+        jnp.where(active, tau_ssag, z),
+    )
+
+
+def cloud_optics_band(lkp: CloudLookup, cs: CloudState, ibnd: int):
+    """Cloud two-stream properties (tau, ssa, g) for one band, (nlay, ncol)."""
+    eps = _eps(cs.cld_path_liq.dtype)
+    liq = lkp.liq[:, :, ibnd]                       # (3, nsize_liq)
+    ice = lkp.ice[:, :, ibnd, cs.ice_rgh - 1]       # (3, nsize_ice)
+
+    tl, tl_ssa, tl_ssag = _rad_interp(
+        liq, cs.cld_r_eff_liq, cs.cld_path_liq, lkp.radliq_lwr, lkp.radliq_upr, lkp.nsize_liq
+    )
+    ti, ti_ssa, ti_ssag = _rad_interp(
+        ice, cs.cld_r_eff_ice, cs.cld_path_ice, lkp.radice_lwr, lkp.radice_upr, lkp.nsize_ice
+    )
+    tau_c = tl + ti
+    ssa_c = tl_ssa + ti_ssa
+    g_c = (tl_ssag + ti_ssag) / jnp.maximum(eps, ssa_c)
+    ssa_c = ssa_c / jnp.maximum(eps, tau_c)
+    return tau_c, ssa_c, g_c
+
+
+def add_cloud_optics(
+    tau: jax.Array,             # (nlay, ngpt, ncol)
+    ssa: jax.Array | None,      # None for 1-scalar (absorption-only) path
+    g: jax.Array | None,
+    lkp: CloudLookup,
+    cs: CloudState,
+    cld_mask: jax.Array,        # (nlay, ngpt, ncol) bool, McICA-sampled
+    bnd_lims_gpt: tuple,
+    delta_scaling: bool = False,
+):
+    """Add cloud optics to gas optics under the sampled cloud mask.
+
+    1-scalar path adds absorption only: tau += (tau_c - tau_c*ssa_c)
+    (ref cloud_optics.jl:44); 2-stream path uses increment_2stream with
+    optional SW delta scaling (ref cloud_optics.jl:115-124).
+    Returns updated (tau, ssa, g).
+    """
+    one_scalar = ssa is None
+    tau_parts, ssa_parts, g_parts = [], [], []
+    for ibnd, (g0, g1) in enumerate(bnd_lims_gpt):
+        tau_c, ssa_c, g_c = cloud_optics_band(lkp, cs, ibnd)  # (nlay, ncol)
+        if one_scalar:
+            tau_abs = tau_c - ssa_c * tau_c
+            tau_b = tau[:, g0:g1, :] + jnp.where(
+                cld_mask[:, g0:g1, :], tau_abs[:, None, :], 0.0
+            )
+            tau_parts.append(tau_b)
+        else:
+            if delta_scaling:
+                tau_c, ssa_c, g_c = delta_scale(tau_c, ssa_c, g_c)
+            t1 = tau[:, g0:g1, :]
+            s1 = ssa[:, g0:g1, :]
+            gg1 = g[:, g0:g1, :]
+            t2, s2, g2 = (x[:, None, :] for x in (tau_c, ssa_c, g_c))
+            tn, sn, gn = increment_2stream(t1, s1, gg1, t2, s2, g2)
+            m = cld_mask[:, g0:g1, :]
+            tau_parts.append(jnp.where(m, tn, t1))
+            ssa_parts.append(jnp.where(m, sn, s1))
+            g_parts.append(jnp.where(m, gn, gg1))
+    tau_out = jnp.concatenate(tau_parts, axis=1)
+    if one_scalar:
+        return tau_out, None, None
+    return tau_out, jnp.concatenate(ssa_parts, axis=1), jnp.concatenate(g_parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# McICA cloud-mask sampling
+# ---------------------------------------------------------------------------
+
+
+def build_cloud_mask_mcica(
+    key: jax.Array,
+    cld_frac: jax.Array,   # (nlay, ncol)
+    n_gpt: int,
+) -> jax.Array:
+    """Max-random-overlap McICA cloud mask, (nlay, ngpt, ncol) bool.
+
+    Reimplements the reference's top-down sampler
+    (/root/reference/src/optics/cloud_optics.jl:222-261) with counter-based
+    ``jax.random`` keys — the reproducibility contract the reference gets from
+    host RNG reseeding (reset_rng_seed, /root/reference/src/api/api_types.jl:75-85)
+    comes from keying on (step, column, g-point) instead.
+
+    Recurrence (top layer -> bottom, only over cloudy-fraction layers):
+      mask[top_cloudy] = u[top] >= 1 - cf[top]
+      below, if layer above cloudy: reuse its random number
+             else: u = u_new * (1 - cf_above)
+      mask = (cf > 0) & (u >= 1 - cf)
+    Layers above/below the cloudy range are clear. cld_frac == 1 is
+    deterministic (mask = True), matching the reference's test configs.
+    """
+    nlay, ncol = cld_frac.shape
+    dtype = cld_frac.dtype
+    u = jax.random.uniform(key, (nlay, n_gpt, ncol), dtype=dtype)
+    cf = cld_frac[:, None, :]  # broadcast over g-points
+
+    # top-down scan over layers (reverse: start from TOA = last index)
+    def step(carry, xs):
+        u_above, mask_above, cf_above, started = carry
+        u_i, cf_i = xs
+        # first cloudy layer encountered uses its own random number;
+        # below: reuse if layer above cloudy else rescale fresh draw
+        u_eff = jnp.where(
+            started,
+            jnp.where(mask_above, u_above, u_i * (1.0 - cf_above)),
+            u_i,
+        )
+        cloudy = cf_i > 0.0
+        mask_i = jnp.logical_and(cloudy, u_eff >= (1.0 - cf_i))
+        started_next = jnp.logical_or(started, cloudy)
+        # layers with cf == 0 break the "reuse" chain exactly as the reference
+        # (it restarts sampling below a clear layer via the else branch)
+        return (u_eff, mask_i, cf_i, started_next), mask_i
+
+    init = (
+        jnp.zeros((n_gpt, ncol), dtype),
+        jnp.zeros((n_gpt, ncol), bool),
+        jnp.zeros((n_gpt, ncol), dtype),
+        jnp.zeros((n_gpt, ncol), bool),
+    )
+    _, masks = jax.lax.scan(step, init, (u, jnp.broadcast_to(cf, u.shape)), reverse=True)
+    return masks
+
+
+def cloud_cover_from_mask(cld_mask: jax.Array) -> jax.Array:
+    """McICA effective cloud cover per column: fraction of g-points with any
+    cloudy layer (ref /root/reference/src/rte/shortwave2stream.jl:81-84,110-114)."""
+    any_cloud = jnp.any(cld_mask, axis=0)  # (ngpt, ncol)
+    return jnp.mean(any_cloud.astype(jnp.float32), axis=0)
