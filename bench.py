@@ -1,0 +1,77 @@
+"""Benchmark harness: prints ONE JSON line consumed by the driver.
+
+Metric: clear-sky columns/s/chip at real spectral size (LW no-scat 256 g-pt +
+SW two-stream 224 g-pt, 60 layers, f32) — the reference's DYAMOND-style
+headline workload (/root/reference/test/clear_sky_dyamond_gpu_benchmark.jl).
+Synthetic lookup tables with real dimensions are used when rrtmgp-data
+artifacts are absent (zero-egress image); the compute/memory profile is
+identical to real-data runs.
+
+The reference publishes no absolute numbers (BASELINE.md), so vs_baseline is
+reported against a fixed reference throughput of 1e5 columns/s/chip — the
+order of magnitude an A100 achieves on the reference's DYAMOND benchmark
+(~1 s medians at ~1e5 columns, CI logs).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+NCOL = 8192
+NLAY = 60
+REFERENCE_COLS_PER_S = 1.0e5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rrtmgp_tpu.data.synthetic import synthetic_atmosphere, synthetic_gas_lookup
+    from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
+    from rrtmgp_tpu.states import LwBCs, SwBCs
+
+    dtype = np.float32
+    lkp_lw = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=dtype)
+    lkp_sw = synthetic_gas_lookup(longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype)
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=dtype)
+    bcs_lw = LwBCs(sfc_emis=jnp.full((16, NCOL), 0.98, jnp.float32))
+    bcs_sw = SwBCs(
+        cos_zenith=jnp.full((NCOL,), 0.6, jnp.float32),
+        toa_flux=jnp.full((NCOL,), 1361.0, jnp.float32),
+        sfc_alb_direct=jnp.full((14, NCOL), 0.2, jnp.float32),
+        sfc_alb_diffuse=jnp.full((14, NCOL), 0.2, jnp.float32),
+    )
+
+    f_lw = jax.jit(lambda a, b: solve_lw(lkp_lw, a, b)[0])
+    f_sw = jax.jit(lambda a, b: solve_sw(lkp_sw, a, b)[0])
+
+    # warm-up / compile
+    jax.block_until_ready(f_lw(atm, bcs_lw))
+    jax.block_until_ready(f_sw(atm, bcs_sw))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        flw = f_lw(atm, bcs_lw)
+        fsw = f_sw(atm, bcs_sw)
+    jax.block_until_ready((flw, fsw))
+    dt = (time.perf_counter() - t0) / n_iters  # one LW + one SW solve
+
+    cols_per_s = NCOL / dt
+    print(
+        json.dumps(
+            {
+                "metric": "clear-sky columns/s/chip (LW noscat 256gpt + SW 2stream 224gpt, 60 layers, f32)",
+                "value": round(cols_per_s, 1),
+                "unit": "columns/s",
+                "vs_baseline": round(cols_per_s / REFERENCE_COLS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..parameters import RRTMGPParameters
-from ..states import AtmosphericState, CloudState, AerosolState, VmrGM, compute_col_gas, compute_relative_humidity
+from ..states import AtmosphericState, CloudState, AerosolState, VmrGM
 from .lookups import AerosolLookup, CloudLookup, GasLookup, MinorInterval
 
 # Gas ordering mirrors rrtmgp-data g-files: h2o=1, co2=2, o3=3 (1-based),
@@ -254,7 +254,11 @@ def synthetic_atmosphere(
         vmr=jnp.asarray(vmr_gm, dtype),
     )
     p_lev_j = jnp.asarray(p_lev, dtype)
-    col_dry = compute_col_gas(p_lev_j, params, vmr_h2o=jnp.asarray(vmr_h2o, dtype))
+    # col_dry in numpy (same formula as states.compute_col_gas) to keep module
+    # import free of eager jax dispatches, which are pathologically slow here
+    dp = p_lev[:-1] - p_lev[1:]
+    m_air = params.molmass_dryair + params.molmass_water * vmr_h2o
+    col_dry = jnp.asarray(dp * params.avogad / (1.0e4 * m_air * params.grav), dtype)
 
     cloud_state = None
     if with_clouds:
@@ -288,9 +292,12 @@ def synthetic_atmosphere(
             aero_size=jnp.asarray(size, dtype),
             aero_mass=jnp.asarray(mass, dtype),
         )
-        rel_hum = compute_relative_humidity(
-            jnp.asarray(p_lay, dtype), jnp.asarray(t_lay, dtype), jnp.asarray(vmr_h2o, dtype), params
-        )
+        # numpy mirror of states.compute_relative_humidity (avoid eager jax)
+        mwd = params.molmass_water / params.molmass_dryair
+        mmr_h2o = vmr_h2o * mwd
+        q_tmp = np.maximum(1e-7, mmr_h2o / (1.0 + mmr_h2o))
+        es_tmp = np.exp((17.67 * (t_lay - 273.16)) / (t_lay - 29.65))
+        rel_hum = jnp.asarray(np.maximum(0.01 * (0.263 * p_lay * q_tmp) / es_tmp, 0.0), dtype)
 
     return AtmosphericState(
         p_lay=jnp.asarray(p_lay, dtype),

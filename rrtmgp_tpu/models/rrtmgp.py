@@ -5,11 +5,14 @@ The TPU-native counterpart of the reference's solver dispatch + outer loops
 /root/reference/src/rte/*.jl). Control flow is restructured:
 
 - The reference loops g-points serially (bounding memory with one temp flux
-  buffer) and columns in parallel. Here the BAND loop is a static python loop
-  (16 LW / 14 SW iterations) and everything inside is vectorized over
-  (layer, band-g-points, column) — so per-step live memory is bounded by one
-  band's slice while XLA still sees wide batched ops. G-point flux reduction
-  is a running sum over bands.
+  buffer) and columns in parallel. Here ALL g-points solve in one batched
+  program: optics (nlay, ngpt, ncol) -> RTE with batch (ngpt, ncol) ->
+  g-point reduction is a sum over the gpt axis. At large ncol, memory is
+  bounded by sharding/chunking columns (the natural parallel axis), not by
+  serializing the spectrum.
+- Band-dependent quantities (cloud/aerosol optical properties, surface
+  emissivity/albedo) are computed at band granularity and expanded to
+  g-points with one static band->gpt take.
 - Cloud McICA masks are sampled for ALL g-points at once with counter-based
   keys (ops/cloud_optics.build_cloud_mask_mcica), not per-g-point host RNG.
 
@@ -20,20 +23,21 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from ..angular import angular_discretization
 from ..data.lookups import AerosolLookup, CloudLookup, GasLookup
 from ..ops import rte
-from ..ops.aerosol_optics import add_aerosol_optics
-from ..ops.cloud_optics import add_cloud_optics
-from ..ops.gas_optics import (
-    _band_etas,
-    compute_pt_interp,
-    gas_optics_lw_band,
-    gas_optics_sw_band,
+from ..ops.aerosol_optics import aerosol_optics_band
+from ..ops.cloud_optics import (
+    cloud_optics_band,
+    delta_scale,
+    increment_2stream,
 )
+from ..ops.gas_optics import gas_optics_lw, gas_optics_sw
 from ..states import AtmosphericState, LwBCs, SwBCs
 
 
@@ -56,11 +60,87 @@ class SolveDiagnostics(NamedTuple):
     aod_sw_sca: jax.Array | None = None
 
 
+def _gpt2band(lkp: GasLookup) -> jax.Array:
+    g2b = np.zeros((lkp.n_gpt,), np.int32)
+    for ibnd, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
+        g2b[g0:g1] = ibnd
+    return jnp.asarray(g2b)
+
+
+def _bands_to_gpt(lkp: GasLookup, x_bands: jax.Array, axis: int) -> jax.Array:
+    """Expand a per-band array to per-g-point along ``axis``."""
+    return jnp.take(x_bands, _gpt2band(lkp), axis=axis)
+
+
 def _apply_metric_scaling(flux, metric_scaling):
     """Deep-atmosphere metric scaling (ref /root/reference/src/optics/Fluxes.jl:227-236)."""
     if metric_scaling is None:
         return flux
     return type(flux)(*(f * metric_scaling for f in flux))
+
+
+def _add_cloud_all(lkp, lkp_cld, as_, tau, ssa, g_asym, cld_mask, delta_scaling):
+    """Cloud optics per band, expanded to g-points, incremented under mask.
+
+    1-scalar path (ssa None) adds absorption only (ref cloud_optics.jl:44);
+    2-stream uses increment_2stream (ref cloud_optics.jl:115-124).
+    """
+    cs = as_.cloud_state
+    per_band = [cloud_optics_band(lkp_cld, cs, b) for b in range(lkp.n_bnd)]
+    tau_c = _bands_to_gpt(lkp, jnp.stack([p[0] for p in per_band], 1), 1)  # (nlay, ngpt, ncol)
+    ssa_c = _bands_to_gpt(lkp, jnp.stack([p[1] for p in per_band], 1), 1)
+    g_c = _bands_to_gpt(lkp, jnp.stack([p[2] for p in per_band], 1), 1)
+    if ssa is None:
+        return tau + jnp.where(cld_mask, tau_c - ssa_c * tau_c, 0.0), None, None
+    if delta_scaling:
+        tau_c, ssa_c, g_c = delta_scale(tau_c, ssa_c, g_c)
+    tn, sn, gn = increment_2stream(tau, ssa, g_asym, tau_c, ssa_c, g_c)
+    return (
+        jnp.where(cld_mask, tn, tau),
+        jnp.where(cld_mask, sn, ssa),
+        jnp.where(cld_mask, gn, g_asym),
+    )
+
+
+def _add_aerosol_all(lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling, collect_aod):
+    """Aerosol optics per band, expanded to g-points (ref aerosol_optics.jl)."""
+    eps = float(jnp.finfo(tau.dtype).eps)
+    aero = as_.aerosol_state
+    active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
+
+    per_band = [aerosol_optics_band(lkp_aero, aero, as_.rel_hum, b) for b in range(lkp.n_bnd)]
+    t_b = jnp.stack([p[0] for p in per_band], 1)    # (nlay, nbnd, ncol)
+    ts_b = jnp.stack([p[1] for p in per_band], 1)
+    tsg_b = jnp.stack([p[2] for p in per_band], 1)
+    t_b = jnp.where(active[:, None, :], t_b, 0.0)
+    ts_b = jnp.where(active[:, None, :], ts_b, 0.0)
+    tsg_b = jnp.where(active[:, None, :], tsg_b, 0.0)
+
+    aod_ext = aod_sca = None
+    if collect_aod and lkp_aero.iband_550nm >= 0:
+        aod_ext = jnp.sum(t_b[:, lkp_aero.iband_550nm, :], axis=0)
+        aod_sca = jnp.sum(ts_b[:, lkp_aero.iband_550nm, :], axis=0)
+
+    t_a = _bands_to_gpt(lkp, t_b, 1)
+    ts_a = _bands_to_gpt(lkp, ts_b, 1)
+    tsg_a = _bands_to_gpt(lkp, tsg_b, 1)
+
+    if ssa is None:
+        return tau + (t_a - ts_a), None, None, aod_ext, aod_sca
+
+    g_a = tsg_a / jnp.maximum(eps, ts_a)
+    ssa_a = ts_a / jnp.maximum(eps, t_a)
+    if delta_scaling:
+        t_a, ssa_a, g_a = delta_scale(t_a, ssa_a, g_a)
+    tn, sn, gn = increment_2stream(tau, ssa, g_asym, t_a, ssa_a, g_a)
+    m = active[:, None, :]
+    return (
+        jnp.where(m, tn, tau),
+        jnp.where(m, sn, ssa),
+        jnp.where(m, gn, g_asym),
+        aod_ext,
+        aod_sca,
+    )
 
 
 def solve_lw(
@@ -81,52 +161,37 @@ def solve_lw(
     (/root/reference/src/rte/longwave1scalar.jl:29-102,
      /root/reference/src/rte/longwave2stream.jl:26-101).
     """
-    nlev = as_.nlay + 1
-    ncol = as_.ncol
     dtype = as_.p_lay.dtype
     Ds, wts = angular_discretization(n_gauss_angles)
 
-    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    etas = _band_etas(lkp, as_.vmr, pt)
+    optics = gas_optics_lw(lkp, as_)
+    tau = optics.tau
+    ssa = jnp.zeros_like(tau) if two_stream else None
+    g_asym = jnp.zeros_like(tau) if two_stream else None
 
-    flux_up = jnp.zeros((nlev, ncol), dtype)
-    flux_dn = jnp.zeros((nlev, ncol), dtype)
+    if lkp_cld is not None:
+        tau, ssa, g_asym = _add_cloud_all(
+            lkp, lkp_cld, as_, tau, ssa, g_asym, cld_mask, delta_scaling=False
+        )
+    if lkp_aero is not None:
+        tau, ssa, g_asym, _, _ = _add_aerosol_all(
+            lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=False, collect_aod=False
+        )
 
-    for ibnd in range(lkp.n_bnd):
-        g0, g1 = lkp.bnd_lims_gpt[ibnd]
-        ng = g1 - g0
-        optics = gas_optics_lw_band(lkp, as_, pt, etas[ibnd], ibnd)
-        tau = optics.tau
-        ssa = jnp.zeros_like(tau) if two_stream else None
-        g_asym = jnp.zeros_like(tau) if two_stream else None
-
-        if lkp_cld is not None:
-            mask_b = cld_mask[:, g0:g1, :]
-            tau, ssa, g_asym = add_cloud_optics(
-                tau, ssa, g_asym, lkp_cld, as_.cloud_state, mask_b,
-                ((0, ng),), delta_scaling=False,
-            )
-        if lkp_aero is not None:
-            tau, ssa, g_asym, _, _ = add_aerosol_optics(
-                tau, ssa, g_asym, lkp_aero, as_.aerosol_state, as_.rel_hum,
-                ((0, ng),), delta_scaling=False, collect_aod=False,
-            )
-
-        sfc_emis = jnp.broadcast_to(bcs.sfc_emis[ibnd][None, :], (ng, ncol))
-        inc = None if bcs.inc_flux is None else bcs.inc_flux[g0:g1]
-        if two_stream:
-            up, dn = rte.lw_2stream(
-                tau, ssa, g_asym, optics.sources.lev_source,
-                optics.sources.sfc_source, sfc_emis, inc,
-            )
-        else:
-            up, dn = rte.lw_noscat(
-                tau, optics.sources.lay_source, optics.sources.lev_source,
-                optics.sources.sfc_source, sfc_emis,
-                float(Ds[0]), float(wts[0]), inc,
-            )
-        flux_up = flux_up + jnp.sum(up, axis=1)
-        flux_dn = flux_dn + jnp.sum(dn, axis=1)
+    sfc_emis = _bands_to_gpt(lkp, bcs.sfc_emis, 0)  # (ngpt, ncol)
+    inc = bcs.inc_flux
+    if two_stream:
+        up, dn = rte.lw_2stream(
+            tau, ssa, g_asym, optics.sources.lev_source,
+            optics.sources.sfc_source, sfc_emis, inc,
+        )
+    else:
+        up, dn = rte.lw_noscat(
+            tau, optics.sources.lay_source, optics.sources.lev_source,
+            optics.sources.sfc_source, sfc_emis, float(Ds[0]), float(wts[0]), inc,
+        )
+    flux_up = jnp.sum(up, axis=1)
+    flux_dn = jnp.sum(dn, axis=1)
 
     flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
     flux = _apply_metric_scaling(flux, metric_scaling)
@@ -157,63 +222,44 @@ def solve_sw(
      /root/reference/src/rte/shortwave2stream.jl:36-124). Night columns
     (cos_zenith <= 0) produce exactly zero fluxes.
     """
-    nlev = as_.nlay + 1
-    ncol = as_.ncol
     dtype = as_.p_lay.dtype
+    ncol = as_.ncol
     mu0 = bcs.cos_zenith
 
-    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    etas = _band_etas(lkp, as_.vmr, pt)
+    optics = gas_optics_sw(lkp, as_)
+    tau = optics.tau
+    ssa = optics.ssa if two_stream else None
+    g_asym = jnp.zeros_like(tau) if two_stream else None
 
-    flux_up = jnp.zeros((nlev, ncol), dtype)
-    flux_dn = jnp.zeros((nlev, ncol), dtype)
-    flux_dn_dir = jnp.zeros((nlev, ncol), dtype)
     aod_ext = aod_sca = None
+    if lkp_cld is not None:
+        tau, ssa, g_asym = _add_cloud_all(
+            lkp, lkp_cld, as_, tau, ssa, g_asym, cld_mask, delta_scaling=True
+        )
+    if lkp_aero is not None:
+        tau, ssa, g_asym, aod_ext, aod_sca = _add_aerosol_all(
+            lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=True, collect_aod=True
+        )
 
-    for ibnd in range(lkp.n_bnd):
-        g0, g1 = lkp.bnd_lims_gpt[ibnd]
-        ng = g1 - g0
-        optics = gas_optics_sw_band(lkp, as_, pt, etas[ibnd], ibnd)
-        tau = optics.tau
-        ssa = optics.ssa
-        g_asym = jnp.zeros_like(tau)
+    toa_gpt = bcs.toa_flux[None, :] * lkp.solar_src_scaled[:, None]  # (ngpt, ncol)
+    mu0_b = jnp.broadcast_to(mu0[None, :], (lkp.n_gpt, ncol))
 
-        if lkp_cld is not None:
-            mask_b = cld_mask[:, g0:g1, :]
-            tau, ssa, g_asym = add_cloud_optics(
-                tau, ssa, g_asym, lkp_cld, as_.cloud_state, mask_b,
-                ((0, ng),), delta_scaling=True,
-            )
-        if lkp_aero is not None:
-            collect = lkp_aero.iband_550nm == ibnd
-            tau, ssa, g_asym, ext_b, sca_b = add_aerosol_optics(
-                tau, ssa, g_asym, lkp_aero, as_.aerosol_state, as_.rel_hum,
-                ((0, ng),), delta_scaling=True,
-                collect_aod=collect,
-            )
-            if collect:
-                # band slices use local band index 0 -> map iband back
-                aod_ext, aod_sca = ext_b, sca_b
-
-        solar_frac = lkp.solar_src_scaled[g0:g1]                     # (ng,)
-        toa_gpt = bcs.toa_flux[None, :] * solar_frac[:, None]        # (ng, ncol)
-        mu0_b = jnp.broadcast_to(mu0[None, :], (ng, ncol))
-
-        if two_stream:
-            alb_dir = jnp.broadcast_to(bcs.sfc_alb_direct[ibnd][None, :], (ng, ncol))
-            alb_dif = jnp.broadcast_to(bcs.sfc_alb_diffuse[ibnd][None, :], (ng, ncol))
-            inc_dif = None if bcs.inc_flux_diffuse is None else bcs.inc_flux_diffuse[g0:g1]
-            up, dn, dn_dir = rte.sw_2stream(
-                tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif, inc_dif
-            )
-            flux_up = flux_up + jnp.sum(up, axis=1)
-            flux_dn = flux_dn + jnp.sum(dn, axis=1)
-            flux_dn_dir = flux_dn_dir + jnp.sum(dn_dir, axis=1)
-        else:
-            # direct-beam only: flux_up/flux_dn stay zero, like the reference's
-            # OneScalar SW path (/root/reference/src/rte/shortwave1scalar.jl:92-113)
-            dn_dir = rte.sw_noscat(tau, mu0_b, toa_gpt)
-            flux_dn_dir = flux_dn_dir + jnp.sum(dn_dir, axis=1)
+    if two_stream:
+        alb_dir = _bands_to_gpt(lkp, bcs.sfc_alb_direct, 0)
+        alb_dif = _bands_to_gpt(lkp, bcs.sfc_alb_diffuse, 0)
+        up, dn, dn_dir = rte.sw_2stream(
+            tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif, bcs.inc_flux_diffuse
+        )
+        flux_up = jnp.sum(up, axis=1)
+        flux_dn = jnp.sum(dn, axis=1)
+        flux_dn_dir = jnp.sum(dn_dir, axis=1)
+    else:
+        # direct-beam only: flux_up/flux_dn stay zero, like the reference's
+        # OneScalar SW path (/root/reference/src/rte/shortwave1scalar.jl:92-113)
+        dn_dir = rte.sw_noscat(tau, mu0_b, toa_gpt)
+        flux_dn_dir = jnp.sum(dn_dir, axis=1)
+        flux_up = jnp.zeros_like(flux_dn_dir)
+        flux_dn = jnp.zeros_like(flux_dn_dir)
 
     day = (mu0 > 0)[None, :]
     flux_up = jnp.where(day, flux_up, 0.0)

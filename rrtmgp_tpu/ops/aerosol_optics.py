@@ -133,61 +133,52 @@ def aerosol_optics_band(lkp: AerosolLookup, aero: AerosolState, rel_hum: jax.Arr
     return tau, tau_ssa, tau_ssag
 
 
-def add_aerosol_optics(
-    tau: jax.Array,          # (nlay, ngpt, ncol)
+def add_aerosol_optics_band(
+    tau: jax.Array,          # (nlay, nb_gpt, ncol), one band's g-point slice
     ssa: jax.Array | None,
     g: jax.Array | None,
     lkp: AerosolLookup,
     aero: AerosolState,
     rel_hum: jax.Array,      # (nlay, ncol)
-    bnd_lims_gpt: tuple,
+    ibnd: int,               # TRUE band index into the aerosol LUT
     delta_scaling: bool = False,
     collect_aod: bool = False,
 ):
-    """Add aerosol optics per band; optionally collect AOD at 550 nm.
+    """Add aerosol optics to one band's slice; optionally collect AOD at 550 nm.
 
-    Returns (tau, ssa, g, aod_ext, aod_sca); aod_* are (ncol,) or None.
+    Returns (tau, ssa, g, aod_ext, aod_sca); aod_* are (ncol,) when
+    ``collect_aod`` and this is the 550 nm band, else None.
     1-scalar path (ssa is None) adds absorption only
     (ref aerosol_optics.jl:18-49); 2-stream path ref :74-113.
     """
     eps = float(jnp.finfo(tau.dtype).eps)
-    one_scalar = ssa is None
     aero_active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
 
+    t_a, ts_a, tsg_a = aerosol_optics_band(lkp, aero, rel_hum, ibnd)
+    t_a = jnp.where(aero_active, t_a, 0.0)
+    ts_a = jnp.where(aero_active, ts_a, 0.0)
+    tsg_a = jnp.where(aero_active, tsg_a, 0.0)
+
     aod_ext = aod_sca = None
-    tau_parts, ssa_parts, g_parts = [], [], []
-    for ibnd, (g0, g1) in enumerate(bnd_lims_gpt):
-        t_a, ts_a, tsg_a = aerosol_optics_band(lkp, aero, rel_hum, ibnd)
-        t_a = jnp.where(aero_active, t_a, 0.0)
-        ts_a = jnp.where(aero_active, ts_a, 0.0)
-        tsg_a = jnp.where(aero_active, tsg_a, 0.0)
-        if collect_aod and ibnd == lkp.iband_550nm:
-            aod_ext = jnp.sum(t_a, axis=0)
-            aod_sca = jnp.sum(ts_a, axis=0)
-        if one_scalar:
-            tau_parts.append(tau[:, g0:g1, :] + (t_a - ts_a)[:, None, :])
-        else:
-            g_a = tsg_a / jnp.maximum(eps, ts_a)
-            ssa_a = ts_a / jnp.maximum(eps, t_a)
-            if delta_scaling:
-                t_a, ssa_a, g_a = delta_scale(t_a, ssa_a, g_a)
-            t1 = tau[:, g0:g1, :]
-            s1 = ssa[:, g0:g1, :]
-            gg1 = g[:, g0:g1, :]
-            tn, sn, gn = increment_2stream(
-                t1, s1, gg1, t_a[:, None, :], ssa_a[:, None, :], g_a[:, None, :]
-            )
-            m = aero_active[:, None, :]
-            tau_parts.append(jnp.where(m, tn, t1))
-            ssa_parts.append(jnp.where(m, sn, s1))
-            g_parts.append(jnp.where(m, gn, gg1))
-    tau_out = jnp.concatenate(tau_parts, axis=1)
-    if one_scalar:
-        return tau_out, None, None, aod_ext, aod_sca
+    if collect_aod and ibnd == lkp.iband_550nm:
+        aod_ext = jnp.sum(t_a, axis=0)
+        aod_sca = jnp.sum(ts_a, axis=0)
+
+    if ssa is None:
+        return tau + (t_a - ts_a)[:, None, :], None, None, aod_ext, aod_sca
+
+    g_a = tsg_a / jnp.maximum(eps, ts_a)
+    ssa_a = ts_a / jnp.maximum(eps, t_a)
+    if delta_scaling:
+        t_a, ssa_a, g_a = delta_scale(t_a, ssa_a, g_a)
+    tn, sn, gn = increment_2stream(
+        tau, ssa, g, t_a[:, None, :], ssa_a[:, None, :], g_a[:, None, :]
+    )
+    m = aero_active[:, None, :]
     return (
-        tau_out,
-        jnp.concatenate(ssa_parts, axis=1),
-        jnp.concatenate(g_parts, axis=1),
+        jnp.where(m, tn, tau),
+        jnp.where(m, sn, ssa),
+        jnp.where(m, gn, g),
         aod_ext,
         aod_sca,
     )

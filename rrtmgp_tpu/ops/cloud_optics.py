@@ -91,49 +91,36 @@ def cloud_optics_band(lkp: CloudLookup, cs: CloudState, ibnd: int):
     return tau_c, ssa_c, g_c
 
 
-def add_cloud_optics(
-    tau: jax.Array,             # (nlay, ngpt, ncol)
+def add_cloud_optics_band(
+    tau: jax.Array,             # (nlay, nb_gpt, ncol), one band's g-point slice
     ssa: jax.Array | None,      # None for 1-scalar (absorption-only) path
     g: jax.Array | None,
     lkp: CloudLookup,
     cs: CloudState,
-    cld_mask: jax.Array,        # (nlay, ngpt, ncol) bool, McICA-sampled
-    bnd_lims_gpt: tuple,
+    cld_mask: jax.Array,        # (nlay, nb_gpt, ncol) bool, McICA-sampled
+    ibnd: int,                  # TRUE band index into the cloud LUT
     delta_scaling: bool = False,
 ):
-    """Add cloud optics to gas optics under the sampled cloud mask.
+    """Add cloud optics to one band's gas optics under the sampled cloud mask.
 
     1-scalar path adds absorption only: tau += (tau_c - tau_c*ssa_c)
     (ref cloud_optics.jl:44); 2-stream path uses increment_2stream with
     optional SW delta scaling (ref cloud_optics.jl:115-124).
     Returns updated (tau, ssa, g).
     """
-    one_scalar = ssa is None
-    tau_parts, ssa_parts, g_parts = [], [], []
-    for ibnd, (g0, g1) in enumerate(bnd_lims_gpt):
-        tau_c, ssa_c, g_c = cloud_optics_band(lkp, cs, ibnd)  # (nlay, ncol)
-        if one_scalar:
-            tau_abs = tau_c - ssa_c * tau_c
-            tau_b = tau[:, g0:g1, :] + jnp.where(
-                cld_mask[:, g0:g1, :], tau_abs[:, None, :], 0.0
-            )
-            tau_parts.append(tau_b)
-        else:
-            if delta_scaling:
-                tau_c, ssa_c, g_c = delta_scale(tau_c, ssa_c, g_c)
-            t1 = tau[:, g0:g1, :]
-            s1 = ssa[:, g0:g1, :]
-            gg1 = g[:, g0:g1, :]
-            t2, s2, g2 = (x[:, None, :] for x in (tau_c, ssa_c, g_c))
-            tn, sn, gn = increment_2stream(t1, s1, gg1, t2, s2, g2)
-            m = cld_mask[:, g0:g1, :]
-            tau_parts.append(jnp.where(m, tn, t1))
-            ssa_parts.append(jnp.where(m, sn, s1))
-            g_parts.append(jnp.where(m, gn, gg1))
-    tau_out = jnp.concatenate(tau_parts, axis=1)
-    if one_scalar:
-        return tau_out, None, None
-    return tau_out, jnp.concatenate(ssa_parts, axis=1), jnp.concatenate(g_parts, axis=1)
+    tau_c, ssa_c, g_c = cloud_optics_band(lkp, cs, ibnd)  # (nlay, ncol)
+    if ssa is None:
+        tau_abs = tau_c - ssa_c * tau_c
+        return tau + jnp.where(cld_mask, tau_abs[:, None, :], 0.0), None, None
+    if delta_scaling:
+        tau_c, ssa_c, g_c = delta_scale(tau_c, ssa_c, g_c)
+    t2, s2, g2 = (x[:, None, :] for x in (tau_c, ssa_c, g_c))
+    tn, sn, gn = increment_2stream(tau, ssa, g, t2, s2, g2)
+    return (
+        jnp.where(cld_mask, tn, tau),
+        jnp.where(cld_mask, sn, ssa),
+        jnp.where(cld_mask, gn, g),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -6,16 +6,17 @@ Mirrors the numerics of the reference's per-(layer, g-point) scalar kernel
 
 - Pressure/temperature interpolation indices are computed once per
   (layer, column) — they are g-point independent.
-- The band loop (16/14 iterations) and the minor-gas interval loop (dozens)
-  unroll at TRACE time over static metadata; inside each iteration everything
-  is dense and vectorized over (layer, g-point-slice, column). This replaces
-  the reference's ragged per-g-point minor loops
-  (gas_optics.jl:277-303) with rectangular tensor ops — no masking of ragged
-  lists needed, only a troposphere mask.
-- The 8-point trilinear LUT interpolation (optics_utils.jl:123-149) becomes
-  8 XLA gathers per band over the (press, temp, eta) axes of the g-point-
-  leading kmajor tensor. (The Pallas kernel path replaces these gathers with
-  VMEM-resident dynamic slices.)
+- Eta (binary species parameter) data is computed at BAND granularity
+  (nlay, nbnd, ncol) — a short trace-time loop of elementwise ops over the
+  static key-species table — then expanded to g-points with a single static
+  ``take`` along the band axis. The expensive structures (the 8-point
+  trilinear kmajor/planck gathers) appear ONCE in the program, batched over
+  all g-points, instead of once per band; this keeps XLA programs small and
+  maps the gathers onto wide TPU ops.
+- The minor-gas interval loop (dozens of intervals) unrolls at trace time
+  over static metadata; each interval is a dense (eta, temp) bilinear interp
+  over its contiguous g-point slice, masked by troposphere side — replacing
+  the reference's ragged per-g-point loops (gas_optics.jl:277-303).
 
 Outputs are laid out (nlay, ngpt, ncol): vertical axis leading for the RTE
 scans, columns trailing on TPU lanes.
@@ -27,6 +28,8 @@ gas indices 1-based matching the reference's vmr convention.
 from __future__ import annotations
 
 from typing import NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -46,9 +49,9 @@ class PTInterp(NamedTuple):
 
 
 class EtaInterp(NamedTuple):
-    """Per-(layer, column) eta (binary species parameter) data for one band."""
+    """Eta interpolation data at band granularity, each (nlay, nbnd, ncol)."""
 
-    jeta1: jax.Array    # (nlay, ncol) int
+    jeta1: jax.Array
     feta1: jax.Array
     jeta2: jax.Array
     feta2: jax.Array
@@ -80,9 +83,9 @@ def compute_pt_interp(lkp: GasLookup, p_lay: jax.Array, t_lay: jax.Array) -> PTI
     return PTInterp(jtemp, ftemp, jpress_base, fpress, tropo_lower)
 
 
-def _eta_for(lkp: GasLookup, vmr, pt: PTInterp, ibnd: int, tropo: int) -> EtaInterp:
-    """Eta interp data for band ``ibnd`` at troposphere side ``tropo``
-    (ref gas_optics.jl:123-150)."""
+def _eta_for(lkp: GasLookup, vmr, pt: PTInterp, ibnd: int, tropo: int):
+    """Eta interp data for band ``ibnd``, troposphere side ``tropo``
+    (ref gas_optics.jl:123-150). Returns 6 arrays (nlay, ncol)."""
     g1, g2 = lkp.key_species[ibnd][tropo]
     vmr1 = get_vmr(vmr, g1)
     vmr2 = get_vmr(vmr, g2)
@@ -102,160 +105,159 @@ def _eta_for(lkp: GasLookup, vmr, pt: PTInterp, ibnd: int, tropo: int) -> EtaInt
         feta = loc_eta - trunc
         outs.append((jeta, feta, col_mix))
     (j1, f1, c1), (j2, f2, c2) = outs
-    return EtaInterp(j1, f1, j2, f2, c1, c2)
+    return j1, f1, j2, f2, c1, c2
 
 
-def _select_eta(lo: EtaInterp, up: EtaInterp, tropo_lower: jax.Array) -> EtaInterp:
-    """where-combine lower/upper eta data so only one gather set is needed."""
-    sel = lambda a, b: jnp.where(tropo_lower, a, b)
-    return EtaInterp(*(sel(a, b) for a, b in zip(lo, up)))
+def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
+    """Tropo-selected eta data stacked over bands: each field (nlay, nbnd, ncol)."""
+    per_band = []
+    for ibnd in range(lkp.n_bnd):
+        lo = _eta_for(lkp, vmr, pt, ibnd, 0)
+        if lkp.key_species[ibnd][1] == lkp.key_species[ibnd][0]:
+            per_band.append(lo)
+        else:
+            up = _eta_for(lkp, vmr, pt, ibnd, 1)
+            sel = pt.tropo_lower
+            per_band.append(tuple(jnp.where(sel, a, b) for a, b in zip(lo, up)))
+    stacked = tuple(
+        jnp.stack([pb[i] for pb in per_band], axis=1) for i in range(6)
+    )
+    return EtaInterp(*stacked)
 
 
-def _interp3d_band(table_band, gpt_idx, pt: PTInterp, eta: EtaInterp, s1=None, s2=None):
-    """8-point trilinear interpolation for one band's g-point slice.
+def _gpt2band_array(lkp: GasLookup) -> jax.Array:
+    g2b = np.zeros((lkp.n_gpt,), np.int32)
+    for ibnd, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
+        g2b[g0:g1] = ibnd
+    return jnp.asarray(g2b)
 
-    table_band: (nb_gpt, npress+1, ntemp, neta); returns (nlay, nb_gpt, ncol).
-    Matches interp3d (ref optics_utils.jl:123-149): s1/s2 scale the two
-    temperature halves (col_mix), default 1.
+
+def _expand_eta_to_gpt(lkp: GasLookup, eta: EtaInterp) -> EtaInterp:
+    """(nlay, nbnd, ncol) -> (nlay, ngpt, ncol) via one static band->gpt take."""
+    g2b = _gpt2band_array(lkp)
+    return EtaInterp(*(jnp.take(x, g2b, axis=1) for x in eta))
+
+
+def _interp3d_all(table, pt: PTInterp, eta_g: EtaInterp, s1=None, s2=None):
+    """8-point trilinear interpolation batched over all g-points.
+
+    table: (ngpt, npress+1, ntemp, neta); eta_g fields (nlay, ngpt, ncol);
+    returns (nlay, ngpt, ncol). Matches interp3d (ref optics_utils.jl:123-149)
+    with s1/s2 scaling the two temperature halves (col_mix).
     """
+    n_gpt = table.shape[0]
     jp = pt.jpress_base[:, None, :]  # (nlay, 1, ncol)
     jt = pt.jtemp[:, None, :]
     fp = pt.fpress[:, None, :]
     ft = pt.ftemp[:, None, :]
-    je1 = eta.jeta1[:, None, :]
-    fe1 = eta.feta1[:, None, :]
-    je2 = eta.jeta2[:, None, :]
-    fe2 = eta.feta2[:, None, :]
-    g = gpt_idx[None, :, None]  # (1, nb_gpt, 1)
+    g = jnp.arange(n_gpt, dtype=jnp.int32)[None, :, None]
 
     def gather(dp, dt, je):
-        return table_band[g, jp + dp, jt + dt, je]
+        return table[g, jp + dp, jt + dt, je]
 
+    je1, fe1 = eta_g.jeta1, eta_g.feta1
+    je2, fe2 = eta_g.jeta2, eta_g.feta2
     t1 = (1.0 - fp) * ((1.0 - fe1) * gather(0, 0, je1) + fe1 * gather(0, 0, je1 + 1)) + fp * (
         (1.0 - fe1) * gather(1, 0, je1) + fe1 * gather(1, 0, je1 + 1)
     )
     t2 = (1.0 - fp) * ((1.0 - fe2) * gather(0, 1, je2) + fe2 * gather(0, 1, je2 + 1)) + fp * (
         (1.0 - fe2) * gather(1, 1, je2) + fe2 * gather(1, 1, je2 + 1)
     )
-    s1v = 1.0 if s1 is None else s1[:, None, :]
-    s2v = 1.0 if s2 is None else s2[:, None, :]
+    s1v = 1.0 if s1 is None else s1
+    s2v = 1.0 if s2 is None else s2
     return s1v * (1.0 - ft) * t1 + s2v * ft * t2
 
 
-def _interp2d_rows(krows, gpt_rel_idx, pt: PTInterp, eta: EtaInterp):
-    """4-point (eta, temp) bilinear interpolation over kminor/rayl rows.
+def _interp2d_rows(krows, pt: PTInterp, eta: EtaInterp, ibnd: int):
+    """4-point (eta, temp) bilinear interpolation over kminor rows.
 
-    krows: (nrows, ntemp, neta) with one row per g-point in the slice;
-    returns (nlay, nb_gpt, ncol). Matches interp2d (optics_utils.jl:80-85).
+    krows: (nrows, ntemp, neta), one row per g-point of the interval;
+    eta at band granularity, band ``ibnd`` selected. Returns
+    (nlay, nrows, ncol). Matches interp2d (optics_utils.jl:80-85).
     """
+    nrows = krows.shape[0]
     jt = pt.jtemp[:, None, :]
     ft = pt.ftemp[:, None, :]
-    je1 = eta.jeta1[:, None, :]
-    fe1 = eta.feta1[:, None, :]
-    je2 = eta.jeta2[:, None, :]
-    fe2 = eta.feta2[:, None, :]
-    g = gpt_rel_idx[None, :, None]
-
-    val = (
+    je1 = eta.jeta1[:, ibnd, None, :]
+    fe1 = eta.feta1[:, ibnd, None, :]
+    je2 = eta.jeta2[:, ibnd, None, :]
+    fe2 = eta.feta2[:, ibnd, None, :]
+    g = jnp.arange(nrows, dtype=jnp.int32)[None, :, None]
+    return (
         (1.0 - fe1) * (1.0 - ft) * krows[g, jt, je1]
         + fe1 * (1.0 - ft) * krows[g, jt, je1 + 1]
         + (1.0 - fe2) * ft * krows[g, jt + 1, je2]
         + fe2 * ft * krows[g, jt + 1, je2 + 1]
     )
-    return val
 
 
-def _band_etas(lkp: GasLookup, vmr, pt: PTInterp):
-    """Tropo-selected eta data per band (trace-time list of length n_bnd)."""
-    etas = []
-    for ibnd in range(lkp.n_bnd):
-        lo = _eta_for(lkp, vmr, pt, ibnd, 0)
-        if lkp.key_species[ibnd][1] == lkp.key_species[ibnd][0]:
-            etas.append(_select_eta(lo, lo, pt.tropo_lower))
-            continue
-        up = _eta_for(lkp, vmr, pt, ibnd, 1)
-        etas.append(_select_eta(lo, up, pt.tropo_lower))
-    return etas
+def compute_tau_major(lkp: GasLookup, col_dry, pt: PTInterp, eta_g: EtaInterp) -> jax.Array:
+    """Major-species optical depth (nlay, ngpt, ncol) (ref gas_optics.jl:188)."""
+    tau = _interp3d_all(lkp.kmajor, pt, eta_g, s1=eta_g.col_mix1, s2=eta_g.col_mix2)
+    return tau * col_dry[:, None, :]
 
 
-def _band_minor_intervals(lkp: GasLookup, ibnd: int):
-    """Static (tropo, interval) list for minor intervals inside band ``ibnd``."""
-    g0, g1 = lkp.bnd_lims_gpt[ibnd]
-    out = []
-    for tropo, intervals in ((0, lkp.minor_lower), (1, lkp.minor_upper)):
-        for itv in intervals:
-            if itv.gas != 0 and g0 <= itv.gpt0 < g1:
-                out.append((tropo, itv))
-    return out
-
-
-def compute_tau_major_band(lkp: GasLookup, col_dry, pt: PTInterp, eta: EtaInterp, ibnd: int) -> jax.Array:
-    """Major-species optical depth for one band, (nlay, nb_gpt, ncol)
-    (ref gas_optics.jl:188)."""
-    g0, g1 = lkp.bnd_lims_gpt[ibnd]
-    gpt_idx = jnp.arange(g1 - g0, dtype=jnp.int32)
-    tau_b = _interp3d_band(lkp.kmajor[g0:g1], gpt_idx, pt, eta, s1=eta.col_mix1, s2=eta.col_mix2)
-    return tau_b * col_dry[:, None, :]
-
-
-def compute_tau_minor_band(
-    lkp: GasLookup, vmr, col_dry, p_lay, t_lay, pt: PTInterp, eta: EtaInterp, ibnd: int
+def compute_tau_minor(
+    lkp: GasLookup, vmr, col_dry, p_lay, t_lay, pt: PTInterp, eta: EtaInterp
 ) -> jax.Array:
-    """Minor-gas optical depth for one band, (nlay, nb_gpt, ncol).
+    """Minor-gas optical depth (nlay, ngpt, ncol) (ref gas_optics.jl:255-306).
 
-    Static unroll over this band's minor intervals; each interval is a dense
-    (eta, temp) bilinear interp over its contiguous g-point slice, masked by
-    troposphere side (ref gas_optics.jl:255-306).
+    Static unroll over minor intervals, accumulated into static g-point
+    slices; the scaling-law branches (density / scaling gas / complement)
+    resolve at trace time from static flags.
     """
-    g0b, g1b = lkp.bnd_lims_gpt[ibnd]
     nlay, ncol = p_lay.shape
     dtype = col_dry.dtype
-    tau = jnp.zeros((nlay, g1b - g0b, ncol), dtype)
+    tau = jnp.zeros((nlay, lkp.n_gpt, ncol), dtype)
 
     vmr_h2o = get_vmr(vmr, lkp.idx_h2o)
     dry_fact = 1.0 / (1.0 + vmr_h2o)             # (nlay, ncol) or scalar
     density_fact = 0.01 * p_lay / t_lay          # pa2hpa * p / t
 
-    for tropo, itv in _band_minor_intervals(lkp, ibnd):
-        kminor = lkp.kminor_lower if tropo == 0 else lkp.kminor_upper
+    gpt2band = [0] * lkp.n_gpt
+    for ibnd, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
+        for g in range(g0, g1):
+            gpt2band[g] = ibnd
+
+    for tropo, intervals, kminor in (
+        (0, lkp.minor_lower, lkp.kminor_lower),
+        (1, lkp.minor_upper, lkp.kminor_upper),
+    ):
         mask = pt.tropo_lower if tropo == 0 else jnp.logical_not(pt.tropo_lower)
-        vmr_m = get_vmr(vmr, itv.gas)
-        scaling = vmr_m * col_dry
-        if itv.scales_with_density:
-            scaling = scaling * density_fact
-            if itv.scaling_gas > 0:
-                sg = get_vmr(vmr, itv.scaling_gas)
-                if itv.scale_by_complement:
-                    scaling = scaling * (1.0 - sg * dry_fact)
-                else:
-                    scaling = scaling * (sg * dry_fact)
-        ng = itv.gpt1 - itv.gpt0
-        krows = kminor[itv.k0 : itv.k0 + ng]  # (ng, ntemp, neta)
-        rel_idx = jnp.arange(ng, dtype=jnp.int32)
-        contrib = _interp2d_rows(krows, rel_idx, pt, eta) * scaling[:, None, :]
-        contrib = jnp.where(mask[:, None, :], contrib, 0.0)
-        tau = tau.at[:, itv.gpt0 - g0b : itv.gpt1 - g0b, :].add(contrib)
+        for itv in intervals:
+            if itv.gas == 0:
+                continue
+            vmr_m = get_vmr(vmr, itv.gas)
+            scaling = vmr_m * col_dry
+            if itv.scales_with_density:
+                scaling = scaling * density_fact
+                if itv.scaling_gas > 0:
+                    sg = get_vmr(vmr, itv.scaling_gas)
+                    if itv.scale_by_complement:
+                        scaling = scaling * (1.0 - sg * dry_fact)
+                    else:
+                        scaling = scaling * (sg * dry_fact)
+            ng = itv.gpt1 - itv.gpt0
+            krows = kminor[itv.k0 : itv.k0 + ng]  # (ng, ntemp, neta)
+            contrib = _interp2d_rows(krows, pt, eta, gpt2band[itv.gpt0])
+            contrib = contrib * scaling[:, None, :]
+            contrib = jnp.where(mask[:, None, :], contrib, 0.0)
+            tau = tau.at[:, itv.gpt0 : itv.gpt1, :].add(contrib)
     return tau
 
 
-def compute_tau_rayleigh_band(
-    lkp: GasLookup, vmr, col_dry, pt: PTInterp, eta: EtaInterp, ibnd: int
-) -> jax.Array:
-    """Rayleigh scattering optical depth for one band, (nlay, nb_gpt, ncol)
+def compute_tau_rayleigh(lkp: GasLookup, vmr, col_dry, pt: PTInterp, eta_g: EtaInterp) -> jax.Array:
+    """Rayleigh scattering optical depth (nlay, ngpt, ncol)
     (ref gas_optics.jl:324-335)."""
-    g0, g1 = lkp.bnd_lims_gpt[ibnd]
     vmr_h2o = get_vmr(vmr, lkp.idx_h2o)
     factor = (vmr_h2o + 1.0) * col_dry  # (nlay, ncol)
     tropo_idx = jnp.where(pt.tropo_lower, 0, 1)[:, None, :]  # (nlay, 1, ncol)
-
     jt = pt.jtemp[:, None, :]
     ft = pt.ftemp[:, None, :]
-    je1 = eta.jeta1[:, None, :]
-    fe1 = eta.feta1[:, None, :]
-    je2 = eta.jeta2[:, None, :]
-    fe2 = eta.feta2[:, None, :]
-    g = jnp.arange(g0, g1, dtype=jnp.int32)[None, :, None]
-    r = lkp.rayl
+    je1, fe1 = eta_g.jeta1, eta_g.feta1
+    je2, fe2 = eta_g.jeta2, eta_g.feta2
+    g = jnp.arange(lkp.n_gpt, dtype=jnp.int32)[None, :, None]
+    r = lkp.rayl  # (2, ngpt, ntemp, neta)
     val = (
         (1.0 - fe1) * (1.0 - ft) * r[tropo_idx, g, jt, je1]
         + fe1 * (1.0 - ft) * r[tropo_idx, g, jt, je1 + 1]
@@ -278,6 +280,19 @@ def _planck_interp_band(lkp: GasLookup, t, ibnd: int):
     return jnp.where(t < lkp.t_planck_min, tp[0], jnp.where(t > t_max, tp[-1], lin))
 
 
+def _planck_bands_to_gpt(lkp: GasLookup, t):
+    """Planck source interp per band, expanded to g-points.
+
+    t: (..., ncol) temperatures; returns (..., ngpt, ncol) with the band
+    value broadcast over that band's g-points.
+    """
+    per_band = jnp.stack(
+        [_planck_interp_band(lkp, t, b) for b in range(lkp.n_bnd)], axis=-2
+    )  # (..., nbnd, ncol)
+    g2b = _gpt2band_array(lkp)
+    return jnp.take(per_band, g2b, axis=-2)
+
+
 class LWSources(NamedTuple):
     lay_source: jax.Array  # (nlay, ngpt, ncol)
     lev_source: jax.Array  # (nlay+1, ngpt, ncol)
@@ -294,88 +309,57 @@ class SWOptics(NamedTuple):
     ssa: jax.Array  # (nlay, ngpt, ncol)
 
 
-def compute_planck_sources_band(
-    lkp: GasLookup, as_: AtmosphericState, pfrac: jax.Array, ibnd: int
-) -> LWSources:
-    """Planck sources for one band from the total-Planck table and this band's
-    per-g-point fractions ``pfrac (nlay, nb_gpt, ncol)``.
+def compute_planck_sources(lkp: GasLookup, as_: AtmosphericState, pfrac: jax.Array) -> LWSources:
+    """Planck sources from the total-Planck table and per-g-point fractions.
 
     Mirrors the fused source loop in /root/reference/src/optics/Optics.jl:228-248:
     interior level sources are geometric means of the (level Planck x adjacent
     layers' planck fraction) pair; surface source uses layer 0's fraction.
     """
     nlay = as_.nlay
-    planck_lay = _planck_interp_band(lkp, as_.t_lay, ibnd)   # (nlay, ncol)
-    planck_lev = _planck_interp_band(lkp, as_.t_lev, ibnd)   # (nlay+1, ncol)
-    planck_sfc = _planck_interp_band(lkp, as_.t_sfc, ibnd)   # (ncol,)
+    planck_lay = _planck_bands_to_gpt(lkp, as_.t_lay)   # (nlay, ngpt, ncol)
+    planck_lev = _planck_bands_to_gpt(lkp, as_.t_lev)   # (nlay+1, ngpt, ncol)
+    planck_sfc = _planck_bands_to_gpt(lkp, as_.t_sfc)   # (ngpt, ncol)
 
-    lay_src = planck_lay[:, None, :] * pfrac
+    lay_source = planck_lay * pfrac
     # level 0: planck_lev[0] * pfrac[layer0]; interior i: planck_lev[i] *
     # sqrt(pfrac[i-1] * pfrac[i]); top: planck_lev[nlay] * pfrac[nlay-1]
-    lev0 = planck_lev[0][None, :] * pfrac[0]
-    interior = planck_lev[1:nlay, None, :] * jnp.sqrt(pfrac[:-1] * pfrac[1:])
-    top = planck_lev[nlay][None, :] * pfrac[-1]
-    lev_src = jnp.concatenate([lev0[None], interior, top[None]], axis=0)
-    sfc_src = planck_sfc[None, :] * pfrac[0]
-    return LWSources(lay_source=lay_src, lev_source=lev_src, sfc_source=sfc_src)
-
-
-def gas_optics_lw_band(
-    lkp: GasLookup, as_: AtmosphericState, pt: PTInterp, eta: EtaInterp, ibnd: int
-) -> LWOptics:
-    """LW gas optics (tau + Planck sources) for one band's g-point slice.
-
-    Fuses the reference's per-column driver loop
-    (/root/reference/src/optics/Optics.jl:202-293) into dense tensor ops.
-    """
-    g0, g1 = lkp.bnd_lims_gpt[ibnd]
-    tau_major = compute_tau_major_band(lkp, as_.col_dry, pt, eta, ibnd)
-    tau_minor = compute_tau_minor_band(
-        lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta, ibnd
-    )
-    tau = jnp.maximum(tau_major + tau_minor, 0.0)
-    gpt_idx = jnp.arange(g1 - g0, dtype=jnp.int32)
-    pfrac = _interp3d_band(lkp.planck_fraction[g0:g1], gpt_idx, pt, eta)
-    sources = compute_planck_sources_band(lkp, as_, pfrac, ibnd)
-    return LWOptics(tau=tau, sources=sources)
-
-
-def gas_optics_sw_band(
-    lkp: GasLookup, as_: AtmosphericState, pt: PTInterp, eta: EtaInterp, ibnd: int
-) -> SWOptics:
-    """SW gas optics (tau + Rayleigh ssa) for one band's g-point slice
-    (ref /root/reference/src/optics/gas_optics.jl:197-231)."""
-    tau_major = compute_tau_major_band(lkp, as_.col_dry, pt, eta, ibnd)
-    tau_minor = compute_tau_minor_band(
-        lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta, ibnd
-    )
-    tau_ray = compute_tau_rayleigh_band(lkp, as_.vmr, as_.col_dry, pt, eta, ibnd)
-    tau = jnp.maximum(tau_major + tau_minor + tau_ray, 0.0)
-    ssa = jnp.where(tau > 0.0, tau_ray / jnp.where(tau > 0.0, tau, 1.0), 0.0)
-    return SWOptics(tau=tau, ssa=ssa)
+    lev0 = planck_lev[0] * pfrac[0]
+    interior = planck_lev[1:nlay] * jnp.sqrt(pfrac[:-1] * pfrac[1:])
+    top = planck_lev[nlay] * pfrac[-1]
+    lev_source = jnp.concatenate([lev0[None], interior, top[None]], axis=0)
+    sfc_source = planck_sfc * pfrac[0]
+    return LWSources(lay_source=lay_source, lev_source=lev_source, sfc_source=sfc_source)
 
 
 def gas_optics_lw(lkp: GasLookup, as_: AtmosphericState) -> LWOptics:
-    """LW gas optics for ALL g-points, (nlay, ngpt, ncol)."""
+    """LW gas optics: tau + Planck sources for all g-points, (nlay, ngpt, ncol).
+
+    Fuses the reference's per-column driver loop
+    (/root/reference/src/optics/Optics.jl:202-293) into dense batched ops.
+    """
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    etas = _band_etas(lkp, as_.vmr, pt)
-    outs = [gas_optics_lw_band(lkp, as_, pt, etas[b], b) for b in range(lkp.n_bnd)]
-    return LWOptics(
-        tau=jnp.concatenate([o.tau for o in outs], axis=1),
-        sources=LWSources(
-            lay_source=jnp.concatenate([o.sources.lay_source for o in outs], axis=1),
-            lev_source=jnp.concatenate([o.sources.lev_source for o in outs], axis=1),
-            sfc_source=jnp.concatenate([o.sources.sfc_source for o in outs], axis=0),
-        ),
-    )
+    eta = compute_eta_interp(lkp, as_.vmr, pt)
+    eta_g = _expand_eta_to_gpt(lkp, eta)
+    tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta_g)
+    tau_minor = compute_tau_minor(lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta)
+    tau = jnp.maximum(tau_major + tau_minor, 0.0)
+    pfrac = _interp3d_all(lkp.planck_fraction, pt, eta_g)
+    sources = compute_planck_sources(lkp, as_, pfrac)
+    return LWOptics(tau=tau, sources=sources)
 
 
 def gas_optics_sw(lkp: GasLookup, as_: AtmosphericState) -> SWOptics:
-    """SW gas optics for ALL g-points, (nlay, ngpt, ncol)."""
+    """SW gas optics: tau + Rayleigh single-scattering albedo, (nlay, ngpt, ncol).
+
+    Mirrors /root/reference/src/optics/gas_optics.jl:197-231.
+    """
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    etas = _band_etas(lkp, as_.vmr, pt)
-    outs = [gas_optics_sw_band(lkp, as_, pt, etas[b], b) for b in range(lkp.n_bnd)]
-    return SWOptics(
-        tau=jnp.concatenate([o.tau for o in outs], axis=1),
-        ssa=jnp.concatenate([o.ssa for o in outs], axis=1),
-    )
+    eta = compute_eta_interp(lkp, as_.vmr, pt)
+    eta_g = _expand_eta_to_gpt(lkp, eta)
+    tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta_g)
+    tau_minor = compute_tau_minor(lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta)
+    tau_ray = compute_tau_rayleigh(lkp, as_.vmr, as_.col_dry, pt, eta_g)
+    tau = jnp.maximum(tau_major + tau_minor + tau_ray, 0.0)
+    ssa = jnp.where(tau > 0.0, tau_ray / jnp.where(tau > 0.0, tau, 1.0), 0.0)
+    return SWOptics(tau=tau, ssa=ssa)
