@@ -6,13 +6,13 @@ The TPU-native counterpart of the reference's solver dispatch + outer loops
 
 - The reference loops g-points serially (bounding memory with one temp flux
   buffer) and columns in parallel. Here ALL g-points solve in one batched
-  program: optics (nlay, ngpt, ncol) -> RTE with batch (ngpt, ncol) ->
-  g-point reduction is a sum over the gpt axis. At large ncol, memory is
-  bounded by sharding/chunking columns (the natural parallel axis), not by
-  serializing the spectrum.
+  program: optics (nlay, ncol, ngpt) -> RTE with batch (ncol, ngpt) ->
+  g-point reduction is a lane-axis sum. At large ncol, memory is bounded by
+  sharding/chunking columns (the natural parallel axis), not by serializing
+  the spectrum.
 - Band-dependent quantities (cloud/aerosol optical properties, surface
   emissivity/albedo) are computed at band granularity and expanded to
-  g-points with one static band->gpt take.
+  g-points with one static band->gpt take along the trailing axis.
 - Cloud McICA masks are sampled for ALL g-points at once with counter-based
   keys (ops/cloud_optics.build_cloud_mask_mcica), not per-g-point host RNG.
 
@@ -22,8 +22,6 @@ All functions are pure; fluxes are (nlay+1, ncol), level 0 = surface.
 from __future__ import annotations
 
 from typing import NamedTuple
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +35,7 @@ from ..ops.cloud_optics import (
     delta_scale,
     increment_2stream,
 )
-from ..ops.gas_optics import gas_optics_lw, gas_optics_sw
+from ..ops.gas_optics import gas_optics_lw, gas_optics_sw, gpt2band_np
 from ..states import AtmosphericState, LwBCs, SwBCs
 
 
@@ -60,16 +58,9 @@ class SolveDiagnostics(NamedTuple):
     aod_sw_sca: jax.Array | None = None
 
 
-def _gpt2band(lkp: GasLookup) -> jax.Array:
-    g2b = np.zeros((lkp.n_gpt,), np.int32)
-    for ibnd, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
-        g2b[g0:g1] = ibnd
-    return jnp.asarray(g2b)
-
-
-def _bands_to_gpt(lkp: GasLookup, x_bands: jax.Array, axis: int) -> jax.Array:
-    """Expand a per-band array to per-g-point along ``axis``."""
-    return jnp.take(x_bands, _gpt2band(lkp), axis=axis)
+def _bands_to_gpt(lkp: GasLookup, x_bands: jax.Array) -> jax.Array:
+    """Expand a per-band array (..., nbnd) to per-g-point (..., ngpt)."""
+    return jnp.take(x_bands, jnp.asarray(gpt2band_np(lkp)), axis=-1)
 
 
 def _apply_metric_scaling(flux, metric_scaling):
@@ -84,12 +75,13 @@ def _add_cloud_all(lkp, lkp_cld, as_, tau, ssa, g_asym, cld_mask, delta_scaling)
 
     1-scalar path (ssa None) adds absorption only (ref cloud_optics.jl:44);
     2-stream uses increment_2stream (ref cloud_optics.jl:115-124).
+    cld_mask: (nlay, ncol, ngpt) bool.
     """
     cs = as_.cloud_state
     per_band = [cloud_optics_band(lkp_cld, cs, b) for b in range(lkp.n_bnd)]
-    tau_c = _bands_to_gpt(lkp, jnp.stack([p[0] for p in per_band], 1), 1)  # (nlay, ngpt, ncol)
-    ssa_c = _bands_to_gpt(lkp, jnp.stack([p[1] for p in per_band], 1), 1)
-    g_c = _bands_to_gpt(lkp, jnp.stack([p[2] for p in per_band], 1), 1)
+    tau_c = _bands_to_gpt(lkp, jnp.stack([p[0] for p in per_band], -1))  # (nlay, ncol, ngpt)
+    ssa_c = _bands_to_gpt(lkp, jnp.stack([p[1] for p in per_band], -1))
+    g_c = _bands_to_gpt(lkp, jnp.stack([p[2] for p in per_band], -1))
     if ssa is None:
         return tau + jnp.where(cld_mask, tau_c - ssa_c * tau_c, 0.0), None, None
     if delta_scaling:
@@ -109,21 +101,21 @@ def _add_aerosol_all(lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling, collec
     active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
 
     per_band = [aerosol_optics_band(lkp_aero, aero, as_.rel_hum, b) for b in range(lkp.n_bnd)]
-    t_b = jnp.stack([p[0] for p in per_band], 1)    # (nlay, nbnd, ncol)
-    ts_b = jnp.stack([p[1] for p in per_band], 1)
-    tsg_b = jnp.stack([p[2] for p in per_band], 1)
-    t_b = jnp.where(active[:, None, :], t_b, 0.0)
-    ts_b = jnp.where(active[:, None, :], ts_b, 0.0)
-    tsg_b = jnp.where(active[:, None, :], tsg_b, 0.0)
+    t_b = jnp.stack([p[0] for p in per_band], -1)    # (nlay, ncol, nbnd)
+    ts_b = jnp.stack([p[1] for p in per_band], -1)
+    tsg_b = jnp.stack([p[2] for p in per_band], -1)
+    t_b = jnp.where(active[..., None], t_b, 0.0)
+    ts_b = jnp.where(active[..., None], ts_b, 0.0)
+    tsg_b = jnp.where(active[..., None], tsg_b, 0.0)
 
     aod_ext = aod_sca = None
     if collect_aod and lkp_aero.iband_550nm >= 0:
-        aod_ext = jnp.sum(t_b[:, lkp_aero.iband_550nm, :], axis=0)
-        aod_sca = jnp.sum(ts_b[:, lkp_aero.iband_550nm, :], axis=0)
+        aod_ext = jnp.sum(t_b[:, :, lkp_aero.iband_550nm], axis=0)
+        aod_sca = jnp.sum(ts_b[:, :, lkp_aero.iband_550nm], axis=0)
 
-    t_a = _bands_to_gpt(lkp, t_b, 1)
-    ts_a = _bands_to_gpt(lkp, ts_b, 1)
-    tsg_a = _bands_to_gpt(lkp, tsg_b, 1)
+    t_a = _bands_to_gpt(lkp, t_b)
+    ts_a = _bands_to_gpt(lkp, ts_b)
+    tsg_a = _bands_to_gpt(lkp, tsg_b)
 
     if ssa is None:
         return tau + (t_a - ts_a), None, None, aod_ext, aod_sca
@@ -133,7 +125,7 @@ def _add_aerosol_all(lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling, collec
     if delta_scaling:
         t_a, ssa_a, g_a = delta_scale(t_a, ssa_a, g_a)
     tn, sn, gn = increment_2stream(tau, ssa, g_asym, t_a, ssa_a, g_a)
-    m = active[:, None, :]
+    m = active[..., None]
     return (
         jnp.where(m, tn, tau),
         jnp.where(m, sn, ssa),
@@ -152,7 +144,7 @@ def solve_lw(
     n_gauss_angles: int = 1,
     lkp_cld: CloudLookup | None = None,
     lkp_aero: AerosolLookup | None = None,
-    cld_mask: jax.Array | None = None,   # (nlay, ngpt, ncol) McICA mask
+    cld_mask: jax.Array | None = None,   # (nlay, ncol, ngpt) McICA mask
     metric_scaling: jax.Array | None = None,
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
@@ -178,7 +170,7 @@ def solve_lw(
             lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=False, collect_aod=False
         )
 
-    sfc_emis = _bands_to_gpt(lkp, bcs.sfc_emis, 0)  # (ngpt, ncol)
+    sfc_emis = _bands_to_gpt(lkp, bcs.sfc_emis.T)  # (ncol, ngpt)
     inc = bcs.inc_flux
     if two_stream:
         up, dn = rte.lw_2stream(
@@ -190,8 +182,8 @@ def solve_lw(
             tau, optics.sources.lay_source, optics.sources.lev_source,
             optics.sources.sfc_source, sfc_emis, float(Ds[0]), float(wts[0]), inc,
         )
-    flux_up = jnp.sum(up, axis=1)
-    flux_dn = jnp.sum(dn, axis=1)
+    flux_up = jnp.sum(up, axis=-1)
+    flux_dn = jnp.sum(dn, axis=-1)
 
     flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
     flux = _apply_metric_scaling(flux, metric_scaling)
@@ -241,23 +233,23 @@ def solve_sw(
             lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=True, collect_aod=True
         )
 
-    toa_gpt = bcs.toa_flux[None, :] * lkp.solar_src_scaled[:, None]  # (ngpt, ncol)
-    mu0_b = jnp.broadcast_to(mu0[None, :], (lkp.n_gpt, ncol))
+    toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]  # (ncol, ngpt)
+    mu0_b = jnp.broadcast_to(mu0[:, None], (ncol, lkp.n_gpt))
 
     if two_stream:
-        alb_dir = _bands_to_gpt(lkp, bcs.sfc_alb_direct, 0)
-        alb_dif = _bands_to_gpt(lkp, bcs.sfc_alb_diffuse, 0)
+        alb_dir = _bands_to_gpt(lkp, bcs.sfc_alb_direct.T)    # (ncol, ngpt)
+        alb_dif = _bands_to_gpt(lkp, bcs.sfc_alb_diffuse.T)
         up, dn, dn_dir = rte.sw_2stream(
             tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif, bcs.inc_flux_diffuse
         )
-        flux_up = jnp.sum(up, axis=1)
-        flux_dn = jnp.sum(dn, axis=1)
-        flux_dn_dir = jnp.sum(dn_dir, axis=1)
+        flux_up = jnp.sum(up, axis=-1)
+        flux_dn = jnp.sum(dn, axis=-1)
+        flux_dn_dir = jnp.sum(dn_dir, axis=-1)
     else:
         # direct-beam only: flux_up/flux_dn stay zero, like the reference's
         # OneScalar SW path (/root/reference/src/rte/shortwave1scalar.jl:92-113)
         dn_dir = rte.sw_noscat(tau, mu0_b, toa_gpt)
-        flux_dn_dir = jnp.sum(dn_dir, axis=1)
+        flux_dn_dir = jnp.sum(dn_dir, axis=-1)
         flux_up = jnp.zeros_like(flux_dn_dir)
         flux_dn = jnp.zeros_like(flux_dn_dir)
 

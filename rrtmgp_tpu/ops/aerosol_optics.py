@@ -131,54 +131,3 @@ def aerosol_optics_band(lkp: AerosolLookup, aero: AerosolState, rel_hum: jax.Arr
     add(_accum(vals, m), m > 0.0)
 
     return tau, tau_ssa, tau_ssag
-
-
-def add_aerosol_optics_band(
-    tau: jax.Array,          # (nlay, nb_gpt, ncol), one band's g-point slice
-    ssa: jax.Array | None,
-    g: jax.Array | None,
-    lkp: AerosolLookup,
-    aero: AerosolState,
-    rel_hum: jax.Array,      # (nlay, ncol)
-    ibnd: int,               # TRUE band index into the aerosol LUT
-    delta_scaling: bool = False,
-    collect_aod: bool = False,
-):
-    """Add aerosol optics to one band's slice; optionally collect AOD at 550 nm.
-
-    Returns (tau, ssa, g, aod_ext, aod_sca); aod_* are (ncol,) when
-    ``collect_aod`` and this is the 550 nm band, else None.
-    1-scalar path (ssa is None) adds absorption only
-    (ref aerosol_optics.jl:18-49); 2-stream path ref :74-113.
-    """
-    eps = float(jnp.finfo(tau.dtype).eps)
-    aero_active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
-
-    t_a, ts_a, tsg_a = aerosol_optics_band(lkp, aero, rel_hum, ibnd)
-    t_a = jnp.where(aero_active, t_a, 0.0)
-    ts_a = jnp.where(aero_active, ts_a, 0.0)
-    tsg_a = jnp.where(aero_active, tsg_a, 0.0)
-
-    aod_ext = aod_sca = None
-    if collect_aod and ibnd == lkp.iband_550nm:
-        aod_ext = jnp.sum(t_a, axis=0)
-        aod_sca = jnp.sum(ts_a, axis=0)
-
-    if ssa is None:
-        return tau + (t_a - ts_a)[:, None, :], None, None, aod_ext, aod_sca
-
-    g_a = tsg_a / jnp.maximum(eps, ts_a)
-    ssa_a = ts_a / jnp.maximum(eps, t_a)
-    if delta_scaling:
-        t_a, ssa_a, g_a = delta_scale(t_a, ssa_a, g_a)
-    tn, sn, gn = increment_2stream(
-        tau, ssa, g, t_a[:, None, :], ssa_a[:, None, :], g_a[:, None, :]
-    )
-    m = aero_active[:, None, :]
-    return (
-        jnp.where(m, tn, tau),
-        jnp.where(m, sn, ssa),
-        jnp.where(m, gn, g),
-        aod_ext,
-        aod_sca,
-    )

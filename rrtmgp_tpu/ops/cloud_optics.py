@@ -91,38 +91,6 @@ def cloud_optics_band(lkp: CloudLookup, cs: CloudState, ibnd: int):
     return tau_c, ssa_c, g_c
 
 
-def add_cloud_optics_band(
-    tau: jax.Array,             # (nlay, nb_gpt, ncol), one band's g-point slice
-    ssa: jax.Array | None,      # None for 1-scalar (absorption-only) path
-    g: jax.Array | None,
-    lkp: CloudLookup,
-    cs: CloudState,
-    cld_mask: jax.Array,        # (nlay, nb_gpt, ncol) bool, McICA-sampled
-    ibnd: int,                  # TRUE band index into the cloud LUT
-    delta_scaling: bool = False,
-):
-    """Add cloud optics to one band's gas optics under the sampled cloud mask.
-
-    1-scalar path adds absorption only: tau += (tau_c - tau_c*ssa_c)
-    (ref cloud_optics.jl:44); 2-stream path uses increment_2stream with
-    optional SW delta scaling (ref cloud_optics.jl:115-124).
-    Returns updated (tau, ssa, g).
-    """
-    tau_c, ssa_c, g_c = cloud_optics_band(lkp, cs, ibnd)  # (nlay, ncol)
-    if ssa is None:
-        tau_abs = tau_c - ssa_c * tau_c
-        return tau + jnp.where(cld_mask, tau_abs[:, None, :], 0.0), None, None
-    if delta_scaling:
-        tau_c, ssa_c, g_c = delta_scale(tau_c, ssa_c, g_c)
-    t2, s2, g2 = (x[:, None, :] for x in (tau_c, ssa_c, g_c))
-    tn, sn, gn = increment_2stream(tau, ssa, g, t2, s2, g2)
-    return (
-        jnp.where(cld_mask, tn, tau),
-        jnp.where(cld_mask, sn, ssa),
-        jnp.where(cld_mask, gn, g),
-    )
-
-
 # ---------------------------------------------------------------------------
 # McICA cloud-mask sampling
 # ---------------------------------------------------------------------------
@@ -133,7 +101,7 @@ def build_cloud_mask_mcica(
     cld_frac: jax.Array,   # (nlay, ncol)
     n_gpt: int,
 ) -> jax.Array:
-    """Max-random-overlap McICA cloud mask, (nlay, ngpt, ncol) bool.
+    """Max-random-overlap McICA cloud mask, (nlay, ncol, ngpt) bool.
 
     Reimplements the reference's top-down sampler
     (/root/reference/src/optics/cloud_optics.jl:222-261) with counter-based
@@ -151,8 +119,8 @@ def build_cloud_mask_mcica(
     """
     nlay, ncol = cld_frac.shape
     dtype = cld_frac.dtype
-    u = jax.random.uniform(key, (nlay, n_gpt, ncol), dtype=dtype)
-    cf = cld_frac[:, None, :]  # broadcast over g-points
+    u = jax.random.uniform(key, (nlay, ncol, n_gpt), dtype=dtype)
+    cf = cld_frac[:, :, None]  # broadcast over g-points
 
     # top-down scan over layers (reverse: start from TOA = last index)
     def step(carry, xs):
@@ -173,10 +141,10 @@ def build_cloud_mask_mcica(
         return (u_eff, mask_i, cf_i, started_next), mask_i
 
     init = (
-        jnp.zeros((n_gpt, ncol), dtype),
-        jnp.zeros((n_gpt, ncol), bool),
-        jnp.zeros((n_gpt, ncol), dtype),
-        jnp.zeros((n_gpt, ncol), bool),
+        jnp.zeros((ncol, n_gpt), dtype),
+        jnp.zeros((ncol, n_gpt), bool),
+        jnp.zeros((ncol, n_gpt), dtype),
+        jnp.zeros((ncol, n_gpt), bool),
     )
     _, masks = jax.lax.scan(step, init, (u, jnp.broadcast_to(cf, u.shape)), reverse=True)
     return masks
@@ -185,5 +153,5 @@ def build_cloud_mask_mcica(
 def cloud_cover_from_mask(cld_mask: jax.Array) -> jax.Array:
     """McICA effective cloud cover per column: fraction of g-points with any
     cloudy layer (ref /root/reference/src/rte/shortwave2stream.jl:81-84,110-114)."""
-    any_cloud = jnp.any(cld_mask, axis=0)  # (ngpt, ncol)
-    return jnp.mean(any_cloud.astype(jnp.float32), axis=0)
+    any_cloud = jnp.any(cld_mask, axis=0)  # (ncol, ngpt)
+    return jnp.mean(any_cloud.astype(jnp.float32), axis=-1)

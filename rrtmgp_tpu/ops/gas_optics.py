@@ -6,20 +6,22 @@ Mirrors the numerics of the reference's per-(layer, g-point) scalar kernel
 
 - Pressure/temperature interpolation indices are computed once per
   (layer, column) — they are g-point independent.
-- Eta (binary species parameter) data is computed at BAND granularity
-  (nlay, nbnd, ncol) — a short trace-time loop of elementwise ops over the
-  static key-species table — then expanded to g-points with a single static
-  ``take`` along the band axis. The expensive structures (the 8-point
-  trilinear kmajor/planck gathers) appear ONCE in the program, batched over
-  all g-points, instead of once per band; this keeps XLA programs small and
-  maps the gathers onto wide TPU ops.
+- The 8-point trilinear LUT interpolation (optics_utils.jl:123-149) is
+  reorganized as a ROW GATHER: for one (layer, column), all g-points and eta
+  nodes read the same 4 (press, temp) slabs of the table. Gathering whole
+  contiguous (ngpt*neta) rows maps onto efficient TPU DMA (measured ~235x
+  faster than pointwise gathers), and the eta interpolation then contracts
+  the trailing eta axis with per-band one-hot weights.
+- Eta (binary species parameter) data is computed at BAND granularity —
+  a short trace-time loop over the static key-species table.
 - The minor-gas interval loop (dozens of intervals) unrolls at trace time
-  over static metadata; each interval is a dense (eta, temp) bilinear interp
-  over its contiguous g-point slice, masked by troposphere side — replacing
-  the reference's ragged per-g-point loops (gas_optics.jl:277-303).
+  over static metadata with the same row-gather pattern over the temperature
+  axis — replacing the reference's ragged per-g-point loops
+  (gas_optics.jl:277-303).
 
-Outputs are laid out (nlay, ngpt, ncol): vertical axis leading for the RTE
-scans, columns trailing on TPU lanes.
+LAYOUT: optics tensors are (nlay, ncol, ngpt) — vertical axis leading for the
+RTE scans, g-points on TPU lanes (ngpt = 256/224 is lane-friendly), columns
+on sublanes; the g-point flux reduction is a fast lane-axis sum.
 
 Index conventions: level/layer 0 = surface; g-points and bands 0-based;
 gas indices 1-based matching the reference's vmr convention.
@@ -49,7 +51,7 @@ class PTInterp(NamedTuple):
 
 
 class EtaInterp(NamedTuple):
-    """Eta interpolation data at band granularity, each (nlay, nbnd, ncol)."""
+    """Eta interpolation data at band granularity, each (nlay, ncol, nbnd)."""
 
     jeta1: jax.Array
     feta1: jax.Array
@@ -109,7 +111,7 @@ def _eta_for(lkp: GasLookup, vmr, pt: PTInterp, ibnd: int, tropo: int):
 
 
 def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
-    """Tropo-selected eta data stacked over bands: each field (nlay, nbnd, ncol)."""
+    """Tropo-selected eta data stacked over bands: each field (nlay, ncol, nbnd)."""
     per_band = []
     for ibnd in range(lkp.n_bnd):
         lo = _eta_for(lkp, vmr, pt, ibnd, 0)
@@ -120,105 +122,100 @@ def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
             sel = pt.tropo_lower
             per_band.append(tuple(jnp.where(sel, a, b) for a, b in zip(lo, up)))
     stacked = tuple(
-        jnp.stack([pb[i] for pb in per_band], axis=1) for i in range(6)
+        jnp.stack([pb[i] for pb in per_band], axis=-1) for i in range(6)
     )
     return EtaInterp(*stacked)
 
 
-def _gpt2band_array(lkp: GasLookup) -> jax.Array:
+def gpt2band_np(lkp: GasLookup) -> np.ndarray:
     g2b = np.zeros((lkp.n_gpt,), np.int32)
     for ibnd, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
         g2b[g0:g1] = ibnd
-    return jnp.asarray(g2b)
+    return g2b
 
 
-def _expand_eta_to_gpt(lkp: GasLookup, eta: EtaInterp) -> EtaInterp:
-    """(nlay, nbnd, ncol) -> (nlay, ngpt, ncol) via one static band->gpt take."""
-    g2b = _gpt2band_array(lkp)
-    return EtaInterp(*(jnp.take(x, g2b, axis=1) for x in eta))
+def _eta_onehot(je: jax.Array, fe: jax.Array, n_eta: int, dtype):
+    """One-hot eta weights (..., n_eta) from index/fraction (...)."""
+    e = jnp.arange(n_eta, dtype=jnp.int32)
+    je_x = je[..., None]
+    fe_x = fe[..., None].astype(dtype)
+    return jnp.where(e == je_x, 1.0 - fe_x, 0.0) + jnp.where(e == je_x + 1, fe_x, 0.0)
 
 
-def _interp3d_all(table, pt: PTInterp, eta_g: EtaInterp, s1=None, s2=None):
-    """8-point trilinear interpolation batched over all g-points.
+def _contract_eta_by_band(R, eta_w, bnd_lims_gpt):
+    """Contract trailing eta axis with per-band weights.
 
-    table: (ngpt, npress+1, ntemp, neta); eta_g fields (nlay, ngpt, ncol);
-    returns (nlay, ngpt, ncol). Matches interp3d (ref optics_utils.jl:123-149)
-    with s1/s2 scaling the two temperature halves (col_mix).
+    R: (nlay, ncol, ngpt, neta); eta_w: (nlay, ncol, nbnd, neta) one-hot
+    weights; returns (nlay, ncol, ngpt). Static band loop, dense inside.
     """
-    n_gpt = table.shape[0]
-    jp = pt.jpress_base[:, None, :]  # (nlay, 1, ncol)
-    jt = pt.jtemp[:, None, :]
-    fp = pt.fpress[:, None, :]
-    ft = pt.ftemp[:, None, :]
-    g = jnp.arange(n_gpt, dtype=jnp.int32)[None, :, None]
-
-    def gather(dp, dt, je):
-        return table[g, jp + dp, jt + dt, je]
-
-    je1, fe1 = eta_g.jeta1, eta_g.feta1
-    je2, fe2 = eta_g.jeta2, eta_g.feta2
-    t1 = (1.0 - fp) * ((1.0 - fe1) * gather(0, 0, je1) + fe1 * gather(0, 0, je1 + 1)) + fp * (
-        (1.0 - fe1) * gather(1, 0, je1) + fe1 * gather(1, 0, je1 + 1)
-    )
-    t2 = (1.0 - fp) * ((1.0 - fe2) * gather(0, 1, je2) + fe2 * gather(0, 1, je2 + 1)) + fp * (
-        (1.0 - fe2) * gather(1, 1, je2) + fe2 * gather(1, 1, je2 + 1)
-    )
-    s1v = 1.0 if s1 is None else s1
-    s2v = 1.0 if s2 is None else s2
-    return s1v * (1.0 - ft) * t1 + s2v * ft * t2
+    pieces = []
+    for ibnd, (g0, g1) in enumerate(bnd_lims_gpt):
+        w = eta_w[:, :, ibnd, None, :]          # (nlay, ncol, 1, neta)
+        pieces.append(jnp.sum(R[:, :, g0:g1, :] * w, axis=-1))
+    return jnp.concatenate(pieces, axis=-1)
 
 
-def _interp2d_rows(krows, pt: PTInterp, eta: EtaInterp, ibnd: int):
-    """4-point (eta, temp) bilinear interpolation over kminor rows.
-
-    krows: (nrows, ntemp, neta), one row per g-point of the interval;
-    eta at band granularity, band ``ibnd`` selected. Returns
-    (nlay, nrows, ncol). Matches interp2d (optics_utils.jl:80-85).
+def _interp3d_rowgather(table, pt: PTInterp, eta: EtaInterp, lkp: GasLookup, use_colmix: bool):
+    """Trilinear table interpolation via 4 contiguous row gathers + eta
+    contraction. table: (ngpt, npress+1, ntemp, neta);
+    returns (nlay, ncol, ngpt). Matches interp3d (ref optics_utils.jl:123-149)
+    with col_mix scaling the two temperature halves when ``use_colmix``.
     """
-    nrows = krows.shape[0]
-    jt = pt.jtemp[:, None, :]
-    ft = pt.ftemp[:, None, :]
-    je1 = eta.jeta1[:, ibnd, None, :]
-    fe1 = eta.feta1[:, ibnd, None, :]
-    je2 = eta.jeta2[:, ibnd, None, :]
-    fe2 = eta.feta2[:, ibnd, None, :]
-    g = jnp.arange(nrows, dtype=jnp.int32)[None, :, None]
-    return (
-        (1.0 - fe1) * (1.0 - ft) * krows[g, jt, je1]
-        + fe1 * (1.0 - ft) * krows[g, jt, je1 + 1]
-        + (1.0 - fe2) * ft * krows[g, jt + 1, je2]
-        + fe2 * ft * krows[g, jt + 1, je2 + 1]
-    )
+    ngpt, npp, ntemp, neta = table.shape
+    dtype = table.dtype
+    # rows indexed by combined (press_slab, temp); row content (ngpt * neta)
+    K3 = table.transpose(1, 2, 0, 3).reshape(npp * ntemp, ngpt * neta)
+    fp = pt.fpress[..., None].astype(dtype)
+
+    out = 0.0
+    for half in (0, 1):
+        q0 = pt.jpress_base * ntemp + pt.jtemp + half      # (nlay, ncol)
+        r0 = K3[q0]                                         # (nlay, ncol, ngpt*neta)
+        r1 = K3[q0 + ntemp]
+        Rh = ((1.0 - fp) * r0 + fp * r1).reshape(*q0.shape, ngpt, neta)
+        je = eta.jeta1 if half == 0 else eta.jeta2          # (nlay, ncol, nbnd)
+        fe = eta.feta1 if half == 0 else eta.feta2
+        eta_w = _eta_onehot(je, fe, neta, dtype)            # (nlay, ncol, nbnd, neta)
+        if use_colmix:
+            s = eta.col_mix1 if half == 0 else eta.col_mix2  # (nlay, ncol, nbnd)
+            eta_w = eta_w * s[..., None]
+        val = _contract_eta_by_band(Rh, eta_w, lkp.bnd_lims_gpt)  # (nlay, ncol, ngpt)
+        w_t = (pt.ftemp if half else (1.0 - pt.ftemp))[..., None].astype(dtype)
+        out = out + w_t * val
+    return out
 
 
-def compute_tau_major(lkp: GasLookup, col_dry, pt: PTInterp, eta_g: EtaInterp) -> jax.Array:
-    """Major-species optical depth (nlay, ngpt, ncol) (ref gas_optics.jl:188)."""
-    tau = _interp3d_all(lkp.kmajor, pt, eta_g, s1=eta_g.col_mix1, s2=eta_g.col_mix2)
-    return tau * col_dry[:, None, :]
+def compute_tau_major(lkp: GasLookup, col_dry, pt: PTInterp, eta: EtaInterp) -> jax.Array:
+    """Major-species optical depth (nlay, ncol, ngpt) (ref gas_optics.jl:188)."""
+    tau = _interp3d_rowgather(lkp.kmajor, pt, eta, lkp, use_colmix=True)
+    return tau * col_dry[..., None]
+
+
+def compute_planck_fraction(lkp: GasLookup, pt: PTInterp, eta: EtaInterp) -> jax.Array:
+    """Planck fraction (nlay, ncol, ngpt) (ref gas_optics.jl:184-185)."""
+    return _interp3d_rowgather(lkp.planck_fraction, pt, eta, lkp, use_colmix=False)
 
 
 def compute_tau_minor(
     lkp: GasLookup, vmr, col_dry, p_lay, t_lay, pt: PTInterp, eta: EtaInterp
 ) -> jax.Array:
-    """Minor-gas optical depth (nlay, ngpt, ncol) (ref gas_optics.jl:255-306).
+    """Minor-gas optical depth (nlay, ncol, ngpt) (ref gas_optics.jl:255-306).
 
-    Static unroll over minor intervals, accumulated into static g-point
-    slices; the scaling-law branches (density / scaling gas / complement)
-    resolve at trace time from static flags.
+    Static unroll over minor intervals; per interval, a 2-row gather over the
+    temperature axis + eta contraction, masked by troposphere side. The
+    scaling-law branches resolve at trace time from static flags.
     """
     nlay, ncol = p_lay.shape
     dtype = col_dry.dtype
-    tau = jnp.zeros((nlay, lkp.n_gpt, ncol), dtype)
+    neta = lkp.n_eta
+    ntemp = lkp.n_temp
+    tau = jnp.zeros((nlay, ncol, lkp.n_gpt), dtype)
 
     vmr_h2o = get_vmr(vmr, lkp.idx_h2o)
     dry_fact = 1.0 / (1.0 + vmr_h2o)             # (nlay, ncol) or scalar
     density_fact = 0.01 * p_lay / t_lay          # pa2hpa * p / t
 
-    gpt2band = [0] * lkp.n_gpt
-    for ibnd, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
-        for g in range(g0, g1):
-            gpt2band[g] = ibnd
-
+    g2b = gpt2band_np(lkp)
     for tropo, intervals, kminor in (
         (0, lkp.minor_lower, lkp.kminor_lower),
         (1, lkp.minor_upper, lkp.kminor_upper),
@@ -238,33 +235,51 @@ def compute_tau_minor(
                     else:
                         scaling = scaling * (sg * dry_fact)
             ng = itv.gpt1 - itv.gpt0
-            krows = kminor[itv.k0 : itv.k0 + ng]  # (ng, ntemp, neta)
-            contrib = _interp2d_rows(krows, pt, eta, gpt2band[itv.gpt0])
-            contrib = contrib * scaling[:, None, :]
-            contrib = jnp.where(mask[:, None, :], contrib, 0.0)
-            tau = tau.at[:, itv.gpt0 : itv.gpt1, :].add(contrib)
+            ibnd = int(g2b[itv.gpt0])
+            # rows indexed by temp; content (ng * neta)
+            krows = kminor[itv.k0 : itv.k0 + ng]            # (ng, ntemp, neta)
+            K2 = krows.transpose(1, 0, 2).reshape(ntemp, ng * neta)
+            r0 = K2[pt.jtemp].reshape(nlay, ncol, ng, neta)
+            r1 = K2[pt.jtemp + 1].reshape(nlay, ncol, ng, neta)
+            w1 = _eta_onehot(eta.jeta1[:, :, ibnd], eta.feta1[:, :, ibnd], neta, dtype)
+            w2 = _eta_onehot(eta.jeta2[:, :, ibnd], eta.feta2[:, :, ibnd], neta, dtype)
+            ft = pt.ftemp[..., None].astype(dtype)
+            contrib = jnp.sum(
+                (1.0 - ft[..., None]) * r0 * w1[:, :, None, :]
+                + ft[..., None] * r1 * w2[:, :, None, :],
+                axis=-1,
+            )  # (nlay, ncol, ng)
+            contrib = contrib * (scaling * jnp.where(mask, 1.0, 0.0))[..., None]
+            tau = tau.at[:, :, itv.gpt0 : itv.gpt1].add(contrib)
     return tau
 
 
-def compute_tau_rayleigh(lkp: GasLookup, vmr, col_dry, pt: PTInterp, eta_g: EtaInterp) -> jax.Array:
-    """Rayleigh scattering optical depth (nlay, ngpt, ncol)
-    (ref gas_optics.jl:324-335)."""
+def compute_tau_rayleigh(lkp: GasLookup, vmr, col_dry, pt: PTInterp, eta: EtaInterp) -> jax.Array:
+    """Rayleigh scattering optical depth (nlay, ncol, ngpt)
+    (ref gas_optics.jl:324-335). Row gather over combined (tropo, temp)."""
+    ngpt = lkp.n_gpt
+    ntemp = lkp.n_temp
+    neta = lkp.n_eta
+    dtype = lkp.rayl.dtype
     vmr_h2o = get_vmr(vmr, lkp.idx_h2o)
-    factor = (vmr_h2o + 1.0) * col_dry  # (nlay, ncol)
-    tropo_idx = jnp.where(pt.tropo_lower, 0, 1)[:, None, :]  # (nlay, 1, ncol)
-    jt = pt.jtemp[:, None, :]
-    ft = pt.ftemp[:, None, :]
-    je1, fe1 = eta_g.jeta1, eta_g.feta1
-    je2, fe2 = eta_g.jeta2, eta_g.feta2
-    g = jnp.arange(lkp.n_gpt, dtype=jnp.int32)[None, :, None]
-    r = lkp.rayl  # (2, ngpt, ntemp, neta)
-    val = (
-        (1.0 - fe1) * (1.0 - ft) * r[tropo_idx, g, jt, je1]
-        + fe1 * (1.0 - ft) * r[tropo_idx, g, jt, je1 + 1]
-        + (1.0 - fe2) * ft * r[tropo_idx, g, jt + 1, je2]
-        + fe2 * ft * r[tropo_idx, g, jt + 1, je2 + 1]
-    )
-    return val * factor[:, None, :]
+    factor = ((vmr_h2o + 1.0) * col_dry)[..., None]  # (nlay, ncol, 1)
+
+    # rows indexed by combined (tropo, temp); content (ngpt * neta)
+    K3 = lkp.rayl.transpose(0, 2, 1, 3).reshape(2 * ntemp, ngpt * neta)
+    tropo_off = jnp.where(pt.tropo_lower, 0, ntemp)
+    ft = pt.ftemp[..., None].astype(dtype)
+
+    out = 0.0
+    for half in (0, 1):
+        q = tropo_off + pt.jtemp + half
+        Rh = K3[q].reshape(*q.shape, ngpt, neta)
+        je = eta.jeta1 if half == 0 else eta.jeta2
+        fe = eta.feta1 if half == 0 else eta.feta2
+        eta_w = _eta_onehot(je, fe, neta, dtype)
+        val = _contract_eta_by_band(Rh, eta_w, lkp.bnd_lims_gpt)
+        w_t = ft if half else (1.0 - ft)
+        out = out + w_t * val
+    return out * factor
 
 
 def _planck_interp_band(lkp: GasLookup, t, ibnd: int):
@@ -283,30 +298,29 @@ def _planck_interp_band(lkp: GasLookup, t, ibnd: int):
 def _planck_bands_to_gpt(lkp: GasLookup, t):
     """Planck source interp per band, expanded to g-points.
 
-    t: (..., ncol) temperatures; returns (..., ngpt, ncol) with the band
+    t: (..., ncol) temperatures; returns (..., ncol, ngpt) with the band
     value broadcast over that band's g-points.
     """
     per_band = jnp.stack(
-        [_planck_interp_band(lkp, t, b) for b in range(lkp.n_bnd)], axis=-2
-    )  # (..., nbnd, ncol)
-    g2b = _gpt2band_array(lkp)
-    return jnp.take(per_band, g2b, axis=-2)
+        [_planck_interp_band(lkp, t, b) for b in range(lkp.n_bnd)], axis=-1
+    )  # (..., ncol, nbnd)
+    return jnp.take(per_band, jnp.asarray(gpt2band_np(lkp)), axis=-1)
 
 
 class LWSources(NamedTuple):
-    lay_source: jax.Array  # (nlay, ngpt, ncol)
-    lev_source: jax.Array  # (nlay+1, ngpt, ncol)
-    sfc_source: jax.Array  # (ngpt, ncol)
+    lay_source: jax.Array  # (nlay, ncol, ngpt)
+    lev_source: jax.Array  # (nlay+1, ncol, ngpt)
+    sfc_source: jax.Array  # (ncol, ngpt)
 
 
 class LWOptics(NamedTuple):
-    tau: jax.Array       # (nlay, ngpt, ncol)
+    tau: jax.Array       # (nlay, ncol, ngpt)
     sources: LWSources
 
 
 class SWOptics(NamedTuple):
-    tau: jax.Array  # (nlay, ngpt, ncol)
-    ssa: jax.Array  # (nlay, ngpt, ncol)
+    tau: jax.Array  # (nlay, ncol, ngpt)
+    ssa: jax.Array  # (nlay, ncol, ngpt)
 
 
 def compute_planck_sources(lkp: GasLookup, as_: AtmosphericState, pfrac: jax.Array) -> LWSources:
@@ -317,9 +331,9 @@ def compute_planck_sources(lkp: GasLookup, as_: AtmosphericState, pfrac: jax.Arr
     layers' planck fraction) pair; surface source uses layer 0's fraction.
     """
     nlay = as_.nlay
-    planck_lay = _planck_bands_to_gpt(lkp, as_.t_lay)   # (nlay, ngpt, ncol)
-    planck_lev = _planck_bands_to_gpt(lkp, as_.t_lev)   # (nlay+1, ngpt, ncol)
-    planck_sfc = _planck_bands_to_gpt(lkp, as_.t_sfc)   # (ngpt, ncol)
+    planck_lay = _planck_bands_to_gpt(lkp, as_.t_lay)   # (nlay, ncol, ngpt)
+    planck_lev = _planck_bands_to_gpt(lkp, as_.t_lev)   # (nlay+1, ncol, ngpt)
+    planck_sfc = _planck_bands_to_gpt(lkp, as_.t_sfc)   # (ncol, ngpt)
 
     lay_source = planck_lay * pfrac
     # level 0: planck_lev[0] * pfrac[layer0]; interior i: planck_lev[i] *
@@ -333,33 +347,31 @@ def compute_planck_sources(lkp: GasLookup, as_: AtmosphericState, pfrac: jax.Arr
 
 
 def gas_optics_lw(lkp: GasLookup, as_: AtmosphericState) -> LWOptics:
-    """LW gas optics: tau + Planck sources for all g-points, (nlay, ngpt, ncol).
+    """LW gas optics: tau + Planck sources for all g-points, (nlay, ncol, ngpt).
 
     Fuses the reference's per-column driver loop
     (/root/reference/src/optics/Optics.jl:202-293) into dense batched ops.
     """
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
     eta = compute_eta_interp(lkp, as_.vmr, pt)
-    eta_g = _expand_eta_to_gpt(lkp, eta)
-    tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta_g)
+    tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta)
     tau_minor = compute_tau_minor(lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta)
     tau = jnp.maximum(tau_major + tau_minor, 0.0)
-    pfrac = _interp3d_all(lkp.planck_fraction, pt, eta_g)
+    pfrac = compute_planck_fraction(lkp, pt, eta)
     sources = compute_planck_sources(lkp, as_, pfrac)
     return LWOptics(tau=tau, sources=sources)
 
 
 def gas_optics_sw(lkp: GasLookup, as_: AtmosphericState) -> SWOptics:
-    """SW gas optics: tau + Rayleigh single-scattering albedo, (nlay, ngpt, ncol).
+    """SW gas optics: tau + Rayleigh single-scattering albedo, (nlay, ncol, ngpt).
 
     Mirrors /root/reference/src/optics/gas_optics.jl:197-231.
     """
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
     eta = compute_eta_interp(lkp, as_.vmr, pt)
-    eta_g = _expand_eta_to_gpt(lkp, eta)
-    tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta_g)
+    tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta)
     tau_minor = compute_tau_minor(lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta)
-    tau_ray = compute_tau_rayleigh(lkp, as_.vmr, as_.col_dry, pt, eta_g)
+    tau_ray = compute_tau_rayleigh(lkp, as_.vmr, as_.col_dry, pt, eta)
     tau = jnp.maximum(tau_major + tau_minor + tau_ray, 0.0)
     ssa = jnp.where(tau > 0.0, tau_ray / jnp.where(tau > 0.0, tau, 1.0), 0.0)
     return SWOptics(tau=tau, ssa=ssa)

@@ -123,8 +123,10 @@ def test_sw_direct_beam_monotone_and_exact():
     mu0 = np.asarray(BCS_SW.cos_zenith)
     toa = np.asarray(BCS_SW.toa_flux)
     frac = np.asarray(LKP_SW.solar_src_scaled)
-    tau_sum = np.asarray(optics.tau).sum(axis=0)  # (ngpt, ncol)
-    expect_sfc = (toa[None, :] * frac[:, None] * mu0[None, :] * np.exp(-tau_sum / mu0[None, :])).sum(0)
+    tau_sum = np.asarray(optics.tau).sum(axis=0)  # (ncol, ngpt)
+    expect_sfc = (
+        toa[:, None] * frac[None, :] * mu0[:, None] * np.exp(-tau_sum / mu0[:, None])
+    ).sum(-1)
     np.testing.assert_allclose(dn_dir[0], expect_sfc, rtol=1e-10)
 
 
@@ -190,7 +192,7 @@ def test_column_permutation_equivariance():
 def test_cloud_optics_mcica_and_cover():
     """cld_frac in {0,1} -> deterministic mask; cloud-cover diagnostic correct."""
     mask = F_MASK(jax.random.key(0), ATMOS.cloud_state.cld_frac)
-    expect_mask = np.asarray(ATMOS.cloud_state.cld_frac > 0)[:, None, :]
+    expect_mask = np.asarray(ATMOS.cloud_state.cld_frac > 0)[:, :, None]
     assert np.array_equal(np.asarray(mask), np.broadcast_to(expect_mask, mask.shape))
 
     flux, diag = F_LW_ALLSKY(ATMOS, BCS_LW, mask)
@@ -219,7 +221,7 @@ def test_mcica_marginal_distribution():
     cld_frac = jnp.broadcast_to(jnp.linspace(0.0, 0.9, nlay)[:, None], (nlay, ncol))
     n_gpt = 4000
     mask = jax.jit(lambda k: build_cloud_mask_mcica(k, cld_frac, n_gpt))(jax.random.key(42))
-    freq = np.asarray(jnp.mean(mask.astype(jnp.float32), axis=1))  # (nlay, ncol)
+    freq = np.asarray(jnp.mean(mask.astype(jnp.float32), axis=-1))  # (nlay, ncol)
     np.testing.assert_allclose(freq, np.asarray(cld_frac), atol=0.03)
 
 
