@@ -45,8 +45,16 @@ def main() -> None:
         sfc_alb_diffuse=jnp.full((14, NCOL), 0.2, jnp.float32),
     )
 
-    f_lw = jax.jit(lambda a, b: solve_lw(lkp_lw, a, b)[0])
-    f_sw = jax.jit(lambda a, b: solve_sw(lkp_sw, a, b)[0])
+    if jax.default_backend() == "tpu":
+        from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables
+
+        tabs_lw = build_pallas_tables(lkp_lw)
+        tabs_sw = build_pallas_tables(lkp_sw)
+    else:
+        tabs_lw = tabs_sw = None
+
+    f_lw = jax.jit(lambda a, b: solve_lw(lkp_lw, a, b, pallas_tables=tabs_lw)[0])
+    f_sw = jax.jit(lambda a, b: solve_sw(lkp_sw, a, b, pallas_tables=tabs_sw)[0])
 
     # warm-up / compile
     jax.block_until_ready(f_lw(atm, bcs_lw))

@@ -22,4 +22,31 @@ from .models.gray import (
     update_profile_lw,
 )
 
+from .states import (
+    AerosolState,
+    AtmosphericState,
+    CloudState,
+    LwBCs,
+    SwBCs,
+    Vmr,
+    VmrGM,
+    compute_col_gas,
+    compute_relative_humidity,
+    get_vmr,
+)
+from .models.rrtmgp import FluxLW, FluxSW, solve_lw, solve_sw
+from .api import (
+    AllSkyRadiation,
+    AllSkyRadiationWithClearSkyDiagnostics,
+    ClearSkyRadiation,
+    GrayRadiation,
+    LookupBundle,
+    RRTMGPGridParams,
+    RRTMGPSolver,
+    aerosol_names,
+    domain_view,
+    gas_names_sw,
+    lookup_tables,
+)
+
 __version__ = "0.1.0"

@@ -1,0 +1,499 @@
+"""High-level solver API.
+
+Mirrors the reference's L8 API surface (/root/reference/src/api/):
+``RRTMGPGridParams`` + radiation-method types (api_types.jl:19-103), the
+``RRTMGPSolver`` bundle + ``update_lw_fluxes!``/``update_sw_fluxes!``
+(api.jl:34-176), the getter surface (getters.jl + api_methods.jl, list at
+test/api_method_utils.jl:2-38), canonical aerosol/gas name lists
+(api_methods.jl:49-141), and domain_view isothermal-boundary-layer handling
+(api_methods.jl:17-42).
+
+JAX adaptation: RRTMGPSolver is a thin HOST-side wrapper that owns pytree
+state and jit-compiled pure solve functions; update_* methods run one solve
+and store the resulting flux pytrees. The McICA reproducibility contract
+(reset_rng_seed, api_types.jl:75-85) maps to counter-based keys derived from
+the step number.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .data.lookups import AerosolLookup, CloudLookup, GasLookup
+from .models import rrtmgp as _solvers
+from .models.gray import GrayAtmosphericState, solve_gray_lw, solve_gray_sw
+from .ops.cloud_optics import build_cloud_mask_mcica
+from .parameters import RRTMGPParameters
+from .states import AtmosphericState, LwBCs, SwBCs
+
+
+# ---------------------------------------------------------------------------
+# Grid params + radiation methods
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RRTMGPGridParams:
+    """Grid configuration (ref api_types.jl:19-33)."""
+
+    nlay: int
+    ncol: int
+    dtype: type = jnp.float32
+    isothermal_boundary_layer: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class GrayRadiation:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class ClearSkyRadiation:
+    aerosol_radiation: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class AllSkyRadiation:
+    aerosol_radiation: bool = False
+    reset_rng_seed: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class AllSkyRadiationWithClearSkyDiagnostics:
+    aerosol_radiation: bool = False
+    reset_rng_seed: bool = False
+
+
+RadiationMethod = (
+    GrayRadiation | ClearSkyRadiation | AllSkyRadiation | AllSkyRadiationWithClearSkyDiagnostics
+)
+
+
+# ---------------------------------------------------------------------------
+# Lookup-table loading per radiation method
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class LookupBundle:
+    """Lookup set per radiation mode (ref ext/RRTMGPNCDatasetsExt.jl:15-89)."""
+
+    lookup_lw: GasLookup | None = None
+    lookup_sw: GasLookup | None = None
+    lookup_lw_cld: CloudLookup | None = None
+    lookup_sw_cld: CloudLookup | None = None
+    lookup_lw_aero: AerosolLookup | None = None
+    lookup_sw_aero: AerosolLookup | None = None
+
+
+def lookup_tables(
+    radiation_method: RadiationMethod,
+    data_dir: str | None = None,
+    dtype=None,
+) -> LookupBundle:
+    """Build the lookup set for a radiation method.
+
+    With ``data_dir`` (or $RRTMGP_DATA) pointing at rrtmgp-data v1.9, loads
+    the real NetCDF tables (ref ext/RRTMGPNCDatasetsExt.jl); otherwise builds
+    structurally-faithful synthetic tables at real dimensions.
+    """
+    import os
+
+    import numpy as np
+
+    dtype = dtype or np.float64
+    if isinstance(radiation_method, GrayRadiation):
+        return LookupBundle()
+
+    data_dir = data_dir or os.environ.get("RRTMGP_DATA")
+    aero = getattr(radiation_method, "aerosol_radiation", False)
+    cloudy = isinstance(
+        radiation_method, (AllSkyRadiation, AllSkyRadiationWithClearSkyDiagnostics)
+    )
+
+    if data_dir:
+        from .data.loader import load_aerosol_lookup, load_cloud_lookup, load_gas_lookup
+
+        j = lambda name: os.path.join(data_dir, name)
+        bundle = dict(
+            lookup_lw=load_gas_lookup(j("rrtmgp-gas-lw-g256.nc"), dtype),
+            lookup_sw=load_gas_lookup(j("rrtmgp-gas-sw-g224.nc"), dtype),
+        )
+        if cloudy:
+            bundle["lookup_lw_cld"] = load_cloud_lookup(j("rrtmgp-clouds-lw-bnd.nc"), dtype)
+            bundle["lookup_sw_cld"] = load_cloud_lookup(j("rrtmgp-clouds-sw-bnd.nc"), dtype)
+        if aero:
+            bundle["lookup_lw_aero"] = load_aerosol_lookup(j("rrtmgp-aerosols-merra-lw.nc"), dtype)
+            bundle["lookup_sw_aero"] = load_aerosol_lookup(j("rrtmgp-aerosols-merra-sw.nc"), dtype)
+        return LookupBundle(**bundle)
+
+    from .data.synthetic import (
+        synthetic_aerosol_lookup,
+        synthetic_cloud_lookup,
+        synthetic_gas_lookup,
+    )
+
+    bundle = dict(
+        lookup_lw=synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=dtype),
+        lookup_sw=synthetic_gas_lookup(longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype),
+    )
+    if cloudy:
+        bundle["lookup_lw_cld"] = synthetic_cloud_lookup(n_bnd=16, dtype=dtype)
+        bundle["lookup_sw_cld"] = synthetic_cloud_lookup(n_bnd=14, seed=5, dtype=dtype)
+    if aero:
+        bundle["lookup_lw_aero"] = synthetic_aerosol_lookup(n_bnd=16, dtype=dtype)
+        bundle["lookup_sw_aero"] = synthetic_aerosol_lookup(n_bnd=14, seed=6, dtype=dtype)
+    return LookupBundle(**bundle)
+
+
+# ---------------------------------------------------------------------------
+# Canonical name lists
+# ---------------------------------------------------------------------------
+
+
+def aerosol_names() -> list[str]:
+    """Canonical MERRA aerosol-name set (ref api_methods.jl:49-65)."""
+    return [
+        "dust4", "sea_salt5", "dust1", "sulfate", "organic_carbon", "dust5",
+        "sea_salt3", "sea_salt1", "organic_carbon_rh", "dust2", "sea_salt2",
+        "sea_salt4", "dust3", "black_carbon_rh", "black_carbon",
+    ]
+
+
+#: aerosol name -> 0-based row in AerosolState.aero_mass/aero_size, matching
+#: the reference's idx_aerosol map (ref ext/lookup_constructors.jl:22-33, 1-based)
+AEROSOL_INDEX = {
+    "dust1": 0, "sea_salt1": 1, "sulfate": 2, "black_carbon_rh": 3,
+    "black_carbon": 4, "organic_carbon_rh": 5, "organic_carbon": 6,
+    "dust2": 7, "dust3": 8, "dust4": 9, "dust5": 10,
+    "sea_salt2": 11, "sea_salt3": 12, "sea_salt4": 13, "sea_salt5": 14,
+}
+
+
+def gas_names_sw() -> list[str]:
+    """Gas names in the SW lookup tables (ref api_methods.jl:119-141)."""
+    return [
+        "h2o", "cfc11", "h2o_self", "co2", "cfc12", "hfc134a", "cfc22", "ch4",
+        "hfc23", "ccl4", "hfc143a", "co", "no2", "n2", "o2", "o3", "h2o_frgn",
+        "hfc32", "n2o", "cf4", "hfc125",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+
+class RRTMGPSolver:
+    """Host-side solver bundle (ref api.jl:34-108).
+
+    Owns the atmospheric state, BCs, lookup tables, and jitted solve
+    functions; ``update_lw_fluxes``/``update_sw_fluxes`` run one solve and
+    store the flux pytrees for the getter surface.
+    """
+
+    def __init__(
+        self,
+        grid_params: RRTMGPGridParams,
+        radiation_method: RadiationMethod,
+        params: RRTMGPParameters,
+        bcs_lw: LwBCs | None,
+        bcs_sw: SwBCs | None,
+        as_: AtmosphericState | GrayAtmosphericState,
+        lookups: LookupBundle | None = None,
+        center_z=None,
+        face_z=None,
+        two_stream_lw: bool = True,
+        two_stream_sw: bool = True,
+        data_dir: str | None = None,
+    ):
+        self.grid_params = grid_params
+        self.radiation_method = radiation_method
+        self.params = params
+        self.bcs_lw = bcs_lw
+        self.bcs_sw = bcs_sw
+        self.as_ = as_
+        self.center_z = center_z
+        self.face_z = face_z
+        self.two_stream_lw = two_stream_lw
+        self.two_stream_sw = two_stream_sw
+        if lookups is None:
+            import numpy as np
+
+            np_dtype = np.dtype(jnp.dtype(grid_params.dtype)).type
+            lookups = lookup_tables(radiation_method, data_dir=data_dir, dtype=np_dtype)
+        self.lookups = lookups
+
+        self.flux_lw: _solvers.FluxLW | None = None
+        self.flux_sw: _solvers.FluxSW | None = None
+        self.clear_flux_lw: _solvers.FluxLW | None = None
+        self.clear_flux_sw: _solvers.FluxSW | None = None
+        self.diag_lw: _solvers.SolveDiagnostics | None = None
+        self.diag_sw: _solvers.SolveDiagnostics | None = None
+        self._step = 0
+        self._build_solvers()
+
+    # -- construction of jitted pure functions ------------------------------
+
+    def _build_solvers(self):
+        m = self.radiation_method
+        lk = self.lookups
+        gray = isinstance(m, GrayRadiation)
+        cloudy = isinstance(m, (AllSkyRadiation, AllSkyRadiationWithClearSkyDiagnostics))
+        aero = getattr(m, "aerosol_radiation", False)
+
+        if gray:
+            self._lw_fn = jax.jit(
+                partial(solve_gray_lw, params=self.params, two_stream=self.two_stream_lw)
+            )
+            self._sw_fn = jax.jit(partial(solve_gray_sw, two_stream=self.two_stream_sw))
+            return
+
+        # Pallas kernel tables on TPU (fused MXU interpolation path)
+        tabs_lw = tabs_sw = None
+        if jax.default_backend() == "tpu":
+            from .ops.gas_optics_pallas import build_pallas_tables
+
+            tabs_lw = build_pallas_tables(lk.lookup_lw)
+            tabs_sw = build_pallas_tables(lk.lookup_sw)
+        self._pallas_lw = tabs_lw
+        self._pallas_sw = tabs_sw
+
+        lw_aero = lk.lookup_lw_aero if aero else None
+        sw_aero = lk.lookup_sw_aero if aero else None
+
+        def lw_clear(atm, bcs):
+            return _solvers.solve_lw(
+                lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
+                pallas_tables=tabs_lw,
+            )
+
+        def sw_clear(atm, bcs):
+            return _solvers.solve_sw(
+                lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw, lkp_aero=sw_aero,
+                pallas_tables=tabs_sw,
+            )
+
+        self._lw_clear = jax.jit(lw_clear)
+        self._sw_clear = jax.jit(sw_clear)
+
+        if cloudy:
+
+            def lw_cloudy(atm, bcs, key):
+                mask = build_cloud_mask_mcica(
+                    key, atm.cloud_state.cld_frac, lk.lookup_lw.n_gpt
+                )
+                return _solvers.solve_lw(
+                    lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw,
+                    lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero, cld_mask=mask,
+                    pallas_tables=tabs_lw,
+                )
+
+            def sw_cloudy(atm, bcs, key):
+                mask = build_cloud_mask_mcica(
+                    key, atm.cloud_state.cld_frac, lk.lookup_sw.n_gpt
+                )
+                return _solvers.solve_sw(
+                    lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw,
+                    lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero, cld_mask=mask,
+                    pallas_tables=tabs_sw,
+                )
+
+            self._lw_cloudy = jax.jit(lw_cloudy)
+            self._sw_cloudy = jax.jit(sw_cloudy)
+
+    def _mcica_key(self, wave: int):
+        """Counter-based key derived from the step number: the reset_rng_seed
+        reproducibility contract (ref api_types.jl:75-85) holds by
+        construction — setting the same step reproduces the same McICA
+        sampling bitwise."""
+        return jax.random.fold_in(jax.random.key(self._step), wave)
+
+    def advance_step(self, step: int | None = None):
+        """Advance (or set) the timestep used for McICA keys."""
+        self._step = self._step + 1 if step is None else step
+
+    # -- flux updates (ref api.jl:115-176) ----------------------------------
+
+    def update_lw_fluxes(self):
+        m = self.radiation_method
+        if isinstance(m, GrayRadiation):
+            up, dn, net = self._lw_fn(self.as_, self.bcs_lw.sfc_emis[0])
+            self.flux_lw = _solvers.FluxLW(up, dn, net)
+        elif isinstance(m, ClearSkyRadiation):
+            self.flux_lw, self.diag_lw = self._lw_clear(self.as_, self.bcs_lw)
+        elif isinstance(m, AllSkyRadiation):
+            self.flux_lw, self.diag_lw = self._lw_cloudy(
+                self.as_, self.bcs_lw, self._mcica_key(0)
+            )
+        elif isinstance(m, AllSkyRadiationWithClearSkyDiagnostics):
+            self.clear_flux_lw, _ = self._lw_clear(self.as_, self.bcs_lw)
+            self.flux_lw, self.diag_lw = self._lw_cloudy(
+                self.as_, self.bcs_lw, self._mcica_key(0)
+            )
+        return self.flux_lw
+
+    def update_sw_fluxes(self):
+        m = self.radiation_method
+        if isinstance(m, GrayRadiation):
+            up, dn, dn_dir, net = self._sw_fn(
+                self.as_,
+                self.bcs_sw.cos_zenith,
+                self.bcs_sw.toa_flux,
+                self.bcs_sw.sfc_alb_direct[0],
+                self.bcs_sw.sfc_alb_diffuse[0],
+            )
+            self.flux_sw = _solvers.FluxSW(up, dn, dn_dir, net)
+        elif isinstance(m, ClearSkyRadiation):
+            self.flux_sw, self.diag_sw = self._sw_clear(self.as_, self.bcs_sw)
+        elif isinstance(m, AllSkyRadiation):
+            self.flux_sw, self.diag_sw = self._sw_cloudy(
+                self.as_, self.bcs_sw, self._mcica_key(1)
+            )
+        elif isinstance(m, AllSkyRadiationWithClearSkyDiagnostics):
+            self.clear_flux_sw, _ = self._sw_clear(self.as_, self.bcs_sw)
+            self.flux_sw, self.diag_sw = self._sw_cloudy(
+                self.as_, self.bcs_sw, self._mcica_key(1)
+            )
+        return self.flux_sw
+
+    # -- getter surface (ref api_methods.jl + getters.jl) -------------------
+
+    def top_of_atmosphere_lw_flux_dn(self):
+        return None if self.bcs_lw is None else self.bcs_lw.inc_flux
+
+    def top_of_atmosphere_diffuse_sw_flux_dn(self):
+        return None if self.bcs_sw is None else self.bcs_sw.inc_flux_diffuse
+
+    def lw_flux_up(self):
+        return self.flux_lw.flux_up
+
+    def lw_flux_dn(self):
+        return self.flux_lw.flux_dn
+
+    def lw_flux_net(self):
+        return self.flux_lw.flux_net
+
+    def clear_lw_flux_up(self):
+        return self.clear_flux_lw.flux_up
+
+    def clear_lw_flux_dn(self):
+        return self.clear_flux_lw.flux_dn
+
+    def clear_lw_flux(self):
+        return self.clear_flux_lw.flux_net
+
+    def surface_emissivity(self):
+        return self.bcs_lw.sfc_emis
+
+    def sw_flux_up(self):
+        return self.flux_sw.flux_up
+
+    def sw_flux_dn(self):
+        return self.flux_sw.flux_dn
+
+    def sw_flux_net(self):
+        return self.flux_sw.flux_net
+
+    def sw_direct_flux_dn(self):
+        return self.flux_sw.flux_dn_dir
+
+    def clear_sw_flux_up(self):
+        return self.clear_flux_sw.flux_up
+
+    def clear_sw_flux_dn(self):
+        return self.clear_flux_sw.flux_dn
+
+    def clear_sw_direct_flux_dn(self):
+        return self.clear_flux_sw.flux_dn_dir
+
+    def clear_sw_flux(self):
+        return self.clear_flux_sw.flux_net
+
+    def cloud_liquid_effective_radius(self):
+        return self.as_.cloud_state.cld_r_eff_liq
+
+    def cloud_ice_effective_radius(self):
+        return self.as_.cloud_state.cld_r_eff_ice
+
+    def cloud_liquid_water_path(self):
+        return self.as_.cloud_state.cld_path_liq
+
+    def cloud_ice_water_path(self):
+        return self.as_.cloud_state.cld_path_ice
+
+    def cloud_fraction(self):
+        return self.as_.cloud_state.cld_frac
+
+    def sw_cloud_cover(self):
+        return None if self.diag_sw is None else self.diag_sw.cld_cover
+
+    def lw_cloud_cover(self):
+        return None if self.diag_lw is None else self.diag_lw.cld_cover
+
+    def aod_sw_extinction(self):
+        return None if self.diag_sw is None else self.diag_sw.aod_sw_ext
+
+    def aod_sw_scattering(self):
+        return None if self.diag_sw is None else self.diag_sw.aod_sw_sca
+
+    def cos_zenith(self):
+        return self.bcs_sw.cos_zenith
+
+    def toa_flux(self):
+        return self.bcs_sw.toa_flux
+
+    def direct_sw_surface_albedo(self):
+        return self.bcs_sw.sfc_alb_direct
+
+    def diffuse_sw_surface_albedo(self):
+        return self.bcs_sw.sfc_alb_diffuse
+
+    def latitude(self):
+        return self.as_.lat
+
+    def surface_temperature(self):
+        return self.as_.t_sfc
+
+    def pressure(self):
+        return self.as_.p_lay
+
+    def temperature(self):
+        return self.as_.t_lay
+
+    def relative_humidity(self):
+        return getattr(self.as_, "rel_hum", None)
+
+    def optical_thickness_parameter(self):
+        return getattr(self.as_, "otp", None)
+
+    def isothermal_boundary_layer(self) -> bool:
+        return self.grid_params.isothermal_boundary_layer
+
+    def aero_radius(self, name: str):
+        """Aerosol size for ``name`` (ref api_methods.jl:70-81)."""
+        return self.as_.aerosol_state.aero_size[AEROSOL_INDEX[name]]
+
+    def aero_column_mass_density(self, name: str):
+        return self.as_.aerosol_state.aero_mass[AEROSOL_INDEX[name]]
+
+    def volume_mixing_ratio(self, name: str):
+        """VMR by gas name via the SW gas-name index (ref api_methods.jl:143-155)."""
+        from .states import get_vmr
+
+        names = list(self.lookups.lookup_sw.gas_names) if self.lookups.lookup_sw else gas_names_sw()
+        aliases = {"h2o_self": "h2o", "h2o_frgn": "h2o"}
+        name = aliases.get(name, name)
+        return get_vmr(self.as_.vmr, names.index(name) + 1)
+
+
+def domain_view(isothermal_boundary_layer: bool, data):
+    """Exclude the isothermal boundary layer (top layer/level) if present
+    (ref api_methods.jl:17-42). Vertical axis leading."""
+    if not isothermal_boundary_layer:
+        return data
+    return data[:-1]

@@ -146,6 +146,7 @@ def solve_lw(
     lkp_aero: AerosolLookup | None = None,
     cld_mask: jax.Array | None = None,   # (nlay, ncol, ngpt) McICA mask
     metric_scaling: jax.Array | None = None,
+    pallas_tables=None,                  # PallasGasTables -> TPU kernel path
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -156,7 +157,12 @@ def solve_lw(
     dtype = as_.p_lay.dtype
     Ds, wts = angular_discretization(n_gauss_angles)
 
-    optics = gas_optics_lw(lkp, as_)
+    if pallas_tables is not None:
+        from ..ops.gas_optics_pallas import gas_optics_lw as _pallas_lw
+
+        optics = _pallas_lw(lkp, pallas_tables, as_)
+    else:
+        optics = gas_optics_lw(lkp, as_)
     tau = optics.tau
     ssa = jnp.zeros_like(tau) if two_stream else None
     g_asym = jnp.zeros_like(tau) if two_stream else None
@@ -206,6 +212,7 @@ def solve_sw(
     lkp_aero: AerosolLookup | None = None,
     cld_mask: jax.Array | None = None,
     metric_scaling: jax.Array | None = None,
+    pallas_tables=None,                  # PallasGasTables -> TPU kernel path
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -218,7 +225,12 @@ def solve_sw(
     ncol = as_.ncol
     mu0 = bcs.cos_zenith
 
-    optics = gas_optics_sw(lkp, as_)
+    if pallas_tables is not None:
+        from ..ops.gas_optics_pallas import gas_optics_sw as _pallas_sw
+
+        optics = _pallas_sw(lkp, pallas_tables, as_)
+    else:
+        optics = gas_optics_sw(lkp, as_)
     tau = optics.tau
     ssa = optics.ssa if two_stream else None
     g_asym = jnp.zeros_like(tau) if two_stream else None

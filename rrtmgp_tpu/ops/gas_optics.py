@@ -295,16 +295,42 @@ def _planck_interp_band(lkp: GasLookup, t, ibnd: int):
     return jnp.where(t < lkp.t_planck_min, tp[0], jnp.where(t > t_max, tp[-1], lin))
 
 
+def _band_expand_matrix(lkp: GasLookup):
+    m = np.zeros((lkp.n_bnd, lkp.n_gpt), np.float32)
+    for i, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
+        m[i, g0:g1] = 1.0
+    return jnp.asarray(m)
+
+
 def _planck_bands_to_gpt(lkp: GasLookup, t):
-    """Planck source interp per band, expanded to g-points.
+    """Planck source interp, expanded to g-points.
 
     t: (..., ncol) temperatures; returns (..., ncol, ngpt) with the band
-    value broadcast over that band's g-points.
+    value broadcast over that band's g-points. TPU-native formulation: the
+    equispaced 1-D interpolation is a 2-hot matmul against the whole
+    (n_t_plnk, nbnd) table — one MXU contraction for ALL bands — and the
+    band->gpt expansion is a second matmul against the 0/1 band matrix.
+    (Pointwise tp[j] gathers here were ~10x the cost of everything else.)
+    Endpoint clamping matches interp1d_equispaced (ref optics_utils.jl:32-42).
     """
-    per_band = jnp.stack(
-        [_planck_interp_band(lkp, t, b) for b in range(lkp.n_bnd)], axis=-1
+    tp = lkp.totplnk  # (n_t_plnk, nbnd)
+    n = tp.shape[0]
+    dtype = t.dtype
+    loc = (t - lkp.t_planck_min) / lkp.t_planck_delta
+    j = jnp.clip(jnp.floor(loc), 0, n - 2)
+    f = jnp.clip(loc - j, 0.0, 1.0)  # clamp => y[0] / y[-1] outside the grid
+    iota = jnp.arange(n, dtype=dtype)
+    w = jnp.where(iota == j[..., None], 1.0 - f[..., None], 0.0) + jnp.where(
+        iota == j[..., None] + 1.0, f[..., None], 0.0
+    )  # (..., ncol, n_t_plnk)
+    hp = jax.lax.Precision.HIGHEST
+    per_band = jax.lax.dot_general(
+        w, tp.astype(dtype), (((w.ndim - 1,), (0,)), ((), ())), precision=hp
     )  # (..., ncol, nbnd)
-    return jnp.take(per_band, jnp.asarray(gpt2band_np(lkp)), axis=-1)
+    m = _band_expand_matrix(lkp).astype(dtype)
+    return jax.lax.dot_general(
+        per_band, m, (((per_band.ndim - 1,), (0,)), ((), ())), precision=hp
+    )
 
 
 class LWSources(NamedTuple):

@@ -1,0 +1,357 @@
+"""Pallas-accelerated gas optics.
+
+Drop-in computation of the same quantities as ops.gas_optics (same numerics
+contract, bf16-hi/lo f32-equivalent arithmetic) with every LUT interpolation
+mapped onto the fused one-hot MXU kernel (ops.pallas_interp):
+
+  kmajor   : rows (press_slab, temp), fp=fpress, col_mix weights, WINDOWED
+  planck   : same rows, col_mix = 1, WINDOWED
+  rayleigh : rows (tropo, temp), fp = 0 (pure temp/eta bilinear)
+  kminor   : rows (temp,), fp = 0, one call per minor interval with the
+             interval's scaling folded into the cm weights
+
+The windowed variant exploits per-layer pressure coherence; validity is
+checked at runtime and falls back to the full-width kernel via lax.cond.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.lookups import GasLookup
+from ..states import AtmosphericState, get_vmr
+from ..utils.pytree import pytree_dataclass
+from . import pallas_interp as pk
+from .gas_optics import (
+    EtaInterp,
+    LWOptics,
+    LWSources,
+    PTInterp,
+    SWOptics,
+    compute_eta_interp,
+    compute_planck_sources,
+    compute_pt_interp,
+    gpt2band_np,
+)
+
+
+@pytree_dataclass(meta_fields=("minor_ng",))
+class PallasGasTables:
+    """bf16 hi/lo e-major tables for the Pallas kernels.
+
+    kminor tables are concatenated per side with per-interval row offsets
+    implied by the static metadata (intervals keep their k0 offsets; each
+    interval's sub-table is (ntemp, ng*neta) e-major, stacked along rows of a
+    single (n_intervals*ntemp_pad, maxcols) buffer would waste space — so we
+    store per-interval tuples instead; interval count is static).
+    """
+
+    kmajor_hi: jax.Array
+    kmajor_lo: jax.Array
+    planck_hi: jax.Array | None
+    planck_lo: jax.Array | None
+    rayl_hi: jax.Array | None
+    rayl_lo: jax.Array | None
+    minor_lower_hi: tuple
+    minor_lower_lo: tuple
+    minor_upper_hi: tuple
+    minor_upper_lo: tuple
+    minor_ng: tuple  # ((side, interval_ng...), ...) static
+
+
+def _minor_emajor(kminor, itv):
+    """Interval rows (ng, ntemp, neta) -> (ntemp_pad16, neta*gpt_pad(ng)) e-major."""
+    ng = itv.gpt1 - itv.gpt0
+    ngp = pk.gpt_pad(ng)
+    krows = kminor[itv.k0 : itv.k0 + ng]                  # (ng, nt, neta)
+    k3 = jnp.transpose(jnp.asarray(krows, jnp.float32), (1, 2, 0))  # (nt, neta, ng)
+    if ngp != ng:
+        k3 = jnp.pad(k3, ((0, 0), (0, 0), (0, ngp - ng)))
+    k2 = k3.reshape(krows.shape[1], -1)  # (nt, neta*ngp)
+    pad = (-k2.shape[0]) % 16
+    if pad:
+        k2 = jnp.concatenate([k2, jnp.zeros((pad, k2.shape[1]), k2.dtype)], axis=0)
+    hi = k2.astype(jnp.bfloat16)
+    lo = (k2 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
+    """Precompute kernel-layout tables from a GasLookup (do once at init)."""
+    kmajor_hi, kmajor_lo = pk.split_table_emajor(lkp.kmajor)
+    planck_hi = planck_lo = rayl_hi = rayl_lo = None
+    if lkp.planck_fraction is not None:
+        planck_hi, planck_lo = pk.split_table_emajor(lkp.planck_fraction)
+    if lkp.rayl is not None:
+        # (2, ngpt, ntemp, neta) -> rows (2*ntemp), e-major content, gpt-padded
+        r = jnp.asarray(lkp.rayl, jnp.float32)
+        k4 = jnp.transpose(r, (0, 2, 3, 1))  # (2, nt, neta, ngpt)
+        ngp = pk.gpt_pad(lkp.n_gpt)
+        if ngp != lkp.n_gpt:
+            k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, 0), (0, ngp - lkp.n_gpt)))
+        k2 = k4.reshape(2 * lkp.n_temp, -1)
+        pad = (-k2.shape[0]) % 16
+        if pad:
+            k2 = jnp.concatenate([k2, jnp.zeros((pad, k2.shape[1]), k2.dtype)], axis=0)
+        rayl_hi = k2.astype(jnp.bfloat16)
+        rayl_lo = (k2 - rayl_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    ml_hi, ml_lo, mu_hi, mu_lo = [], [], [], []
+    ng_meta = [[], []]
+    for side, intervals, kminor in (
+        (0, lkp.minor_lower, lkp.kminor_lower),
+        (1, lkp.minor_upper, lkp.kminor_upper),
+    ):
+        for itv in intervals:
+            if itv.gas == 0:
+                continue
+            hi, lo = _minor_emajor(kminor, itv)
+            (ml_hi if side == 0 else mu_hi).append(hi)
+            (ml_lo if side == 0 else mu_lo).append(lo)
+            ng_meta[side].append(itv.gpt1 - itv.gpt0)
+    return PallasGasTables(
+        kmajor_hi=kmajor_hi,
+        kmajor_lo=kmajor_lo,
+        planck_hi=planck_hi,
+        planck_lo=planck_lo,
+        rayl_hi=rayl_hi,
+        rayl_lo=rayl_lo,
+        minor_lower_hi=tuple(ml_hi),
+        minor_lower_lo=tuple(ml_lo),
+        minor_upper_hi=tuple(mu_hi),
+        minor_upper_lo=tuple(mu_lo),
+        minor_ng=(tuple(ng_meta[0]), tuple(ng_meta[1])),
+    )
+
+
+def _pad_cols(x, ncol_pad):
+    """Pad the column axis (axis 1 of (nlay, ncol, ...)) with edge values."""
+    pad = ncol_pad - x.shape[1]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[1] = (0, pad)
+    return jnp.pad(x, widths, mode="edge")
+
+
+def _flat(x, rows):
+    return x.reshape(rows, *x.shape[2:])
+
+
+def _interp_table(
+    tables_hi, tables_lo, lkp, pt2d, eta2d, q2d, fp2d, cm_pair, *, windowed, block
+):
+    """Run the fused kernel for one (press,temp,eta) table over all rows."""
+    nlay, ncol_pad = q2d.shape
+    rows = nlay * ncol_pad
+    kw = dict(
+        n_temp=lkp.n_temp,
+        n_eta=lkp.n_eta,
+        n_gpt=lkp.n_gpt,
+        bnd_lims_gpt=lkp.bnd_lims_gpt,
+    )
+    f32 = lambda x: x.astype(jnp.float32)
+    args = (
+        _flat(q2d, rows).astype(jnp.int32),
+        f32(_flat(fp2d, rows)),
+        f32(_flat(pt2d.ftemp, rows)),
+        _flat(eta2d.jeta1, rows),
+        f32(_flat(eta2d.feta1, rows)),
+        _flat(eta2d.jeta2, rows),
+        f32(_flat(eta2d.feta2, rows)),
+        f32(_flat(cm_pair[0], rows)),
+        f32(_flat(cm_pair[1], rows)),
+    )
+    if windowed:
+        q_base, ok = pk.window_bases(q2d, lkp.n_temp, tables_hi.shape[0], 96)
+        out = jax.lax.cond(
+            ok,
+            lambda: pk.interp_pt_eta_windowed(
+                tables_hi, tables_lo, q_base, *args, block_cols=block, **kw
+            ),
+            lambda: pk.interp_pt_eta(tables_hi, tables_lo, *args, block_rows=block, **kw),
+        )
+    else:
+        out = pk.interp_pt_eta(tables_hi, tables_lo, *args, block_rows=block, **kw)
+    return out.reshape(nlay, ncol_pad, lkp.n_gpt)
+
+
+def _prep(lkp: GasLookup, as_: AtmosphericState, block: int):
+    """Shared per-solve preprocessing: pt/eta data, padded to block multiple."""
+    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
+    eta = compute_eta_interp(lkp, as_.vmr, pt)
+    ncol = as_.ncol
+    ncol_pad = -(-ncol // block) * block
+    padp = lambda x: _pad_cols(x, ncol_pad)
+    pt2d = PTInterp(*(padp(x) for x in pt))
+    eta2d = EtaInterp(*(padp(x) for x in eta))
+    f32 = lambda x: x.astype(jnp.float32)
+    q_major = pt2d.jpress_base * lkp.n_temp + pt2d.jtemp
+    return pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad
+
+
+def _tau_minor_pallas(
+    lkp, tables, as_, pt2d, eta2d, ncol_pad, block
+):
+    """Minor-gas tau via per-interval kernel calls (fp=0 maps interp2d onto
+    the same kernel; interval scaling x tropo mask folded into cm)."""
+    nlay = as_.nlay
+    rows = nlay * ncol_pad
+    dtype = jnp.float32
+    vmr = as_.vmr
+    col_dry = _pad_cols(as_.col_dry, ncol_pad).astype(dtype)
+    p_lay = _pad_cols(as_.p_lay, ncol_pad).astype(dtype)
+    t_lay = _pad_cols(as_.t_lay, ncol_pad).astype(dtype)
+
+    vmr_h2o_raw = get_vmr(vmr, lkp.idx_h2o)
+    vmr_h2o = (
+        _pad_cols(vmr_h2o_raw, ncol_pad) if vmr_h2o_raw.ndim == 2 else vmr_h2o_raw
+    ).astype(dtype)
+    dry_fact = 1.0 / (1.0 + vmr_h2o)
+    density_fact = 0.01 * p_lay / t_lay
+
+    g2b = gpt2band_np(lkp)
+    zeros_fp = jnp.zeros((rows,), dtype)
+    # accumulate per static g-point range; ranges that tile the gpt axis
+    # disjointly concatenate at the end instead of scatter-adding into the
+    # full (nlay, ncol, ngpt) tensor (the adds were the dominant cost)
+    segments: dict = {}
+
+    for side, intervals, t_hi, t_lo in (
+        (0, lkp.minor_lower, tables.minor_lower_hi, tables.minor_lower_lo),
+        (1, lkp.minor_upper, tables.minor_upper_hi, tables.minor_upper_lo),
+    ):
+        mask = pt2d.tropo_lower if side == 0 else jnp.logical_not(pt2d.tropo_lower)
+        idx = 0
+        for itv in intervals:
+            if itv.gas == 0:
+                continue
+            vmr_m = get_vmr(vmr, itv.gas)
+            if vmr_m.ndim == 2:
+                vmr_m = _pad_cols(vmr_m, ncol_pad)
+            scaling = vmr_m.astype(dtype) * col_dry
+            if itv.scales_with_density:
+                scaling = scaling * density_fact
+                if itv.scaling_gas > 0:
+                    sg = get_vmr(vmr, itv.scaling_gas)
+                    if sg.ndim == 2:
+                        sg = _pad_cols(sg, ncol_pad)
+                    sg = sg.astype(dtype)
+                    if itv.scale_by_complement:
+                        scaling = scaling * (1.0 - sg * dry_fact)
+                    else:
+                        scaling = scaling * (sg * dry_fact)
+            scaling = jnp.where(mask, scaling, 0.0)
+            ibnd = int(g2b[itv.gpt0])
+            ng = itv.gpt1 - itv.gpt0
+
+            cm = scaling.reshape(rows, 1)
+            out = pk.interp_pt_eta(
+                t_hi[idx],
+                t_lo[idx],
+                _flat(pt2d.jtemp, rows).astype(jnp.int32),
+                zeros_fp,
+                _flat(pt2d.ftemp, rows).astype(jnp.float32),
+                eta2d.jeta1[:, :, ibnd].reshape(rows, 1),
+                eta2d.feta1[:, :, ibnd].reshape(rows, 1).astype(dtype),
+                eta2d.jeta2[:, :, ibnd].reshape(rows, 1),
+                eta2d.feta2[:, :, ibnd].reshape(rows, 1).astype(dtype),
+                cm,
+                cm,
+                n_temp=1,  # second row of each pair = jt+1
+                n_eta=lkp.n_eta,
+                n_gpt=ng,
+                bnd_lims_gpt=((0, ng),),
+                block_rows=block,
+            ).reshape(nlay, ncol_pad, ng)
+            key = (itv.gpt0, itv.gpt1)
+            segments[key] = out if key not in segments else segments[key] + out
+            idx += 1
+
+    # assemble: if the ranges are disjoint, concatenate with zero filler;
+    # otherwise fall back to scatter-adds
+    ranges = sorted(segments)
+    disjoint = all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+    if disjoint:
+        pieces = []
+        cursor = 0
+        for (g0, g1) in ranges:
+            if g0 > cursor:
+                pieces.append(jnp.zeros((nlay, ncol_pad, g0 - cursor), dtype))
+            pieces.append(segments[(g0, g1)])
+            cursor = g1
+        if cursor < lkp.n_gpt:
+            pieces.append(jnp.zeros((nlay, ncol_pad, lkp.n_gpt - cursor), dtype))
+        return jnp.concatenate(pieces, axis=-1)
+    tau = jnp.zeros((nlay, ncol_pad, lkp.n_gpt), dtype)
+    for (g0, g1), seg in segments.items():
+        tau = tau.at[:, :, g0:g1].add(seg)
+    return tau
+
+
+def gas_optics_lw(
+    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *, block: int = 256
+) -> LWOptics:
+    """LW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_lw."""
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+
+    cm = (f32(eta2d.col_mix1), f32(eta2d.col_mix2))
+    tau_major = _interp_table(
+        tables.kmajor_hi, tables.kmajor_lo, lkp, pt2d, eta2d, q_major,
+        f32(pt2d.fpress), cm, windowed=True, block=block,
+    )
+    ones = jnp.ones_like(cm[0])
+    pfrac = _interp_table(
+        tables.planck_hi, tables.planck_lo, lkp, pt2d, eta2d, q_major,
+        f32(pt2d.fpress), (ones, ones), windowed=True, block=block,
+    )
+    tau_minor = _tau_minor_pallas(lkp, tables, as_, pt2d, eta2d, ncol_pad, block)
+
+    col_dry = _pad_cols(as_.col_dry, ncol_pad).astype(jnp.float32)
+    tau = jnp.maximum(tau_major * col_dry[..., None] + tau_minor, 0.0)[:, :ncol, :]
+    pfrac = pfrac[:, :ncol, :]
+    sources = compute_planck_sources(lkp, as_, pfrac.astype(as_.p_lay.dtype))
+    return LWOptics(tau=tau.astype(as_.p_lay.dtype), sources=sources)
+
+
+def gas_optics_sw(
+    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *, block: int = 256
+) -> SWOptics:
+    """SW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_sw."""
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    rows = as_.nlay * ncol_pad
+
+    cm = (f32(eta2d.col_mix1), f32(eta2d.col_mix2))
+    tau_major = _interp_table(
+        tables.kmajor_hi, tables.kmajor_lo, lkp, pt2d, eta2d, q_major,
+        f32(pt2d.fpress), cm, windowed=True, block=block,
+    )
+    tau_minor = _tau_minor_pallas(lkp, tables, as_, pt2d, eta2d, ncol_pad, block)
+
+    # rayleigh: rows (tropo, temp), fp = 0, cm = (vmr_h2o + 1) * col_dry
+    col_dry = _pad_cols(as_.col_dry, ncol_pad).astype(jnp.float32)
+    vmr_h2o_raw = get_vmr(as_.vmr, lkp.idx_h2o)
+    vmr_h2o = (
+        _pad_cols(vmr_h2o_raw, ncol_pad) if vmr_h2o_raw.ndim == 2 else vmr_h2o_raw
+    ).astype(jnp.float32)
+    ray_cm = ((vmr_h2o + 1.0) * col_dry)[..., None] * jnp.ones((1, 1, lkp.n_bnd), jnp.float32)
+    q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
+    tau_ray = _interp_table(
+        tables.rayl_hi, tables.rayl_lo, lkp, pt2d, eta2d, q_ray,
+        jnp.zeros_like(f32(pt2d.fpress)), (ray_cm, ray_cm),
+        windowed=False, block=block,
+    )
+    # note: _interp_table uses n_temp for the +n_temp offset of the unused
+    # second press row; with fp=0 that row has zero weight.
+
+    tau = jnp.maximum(tau_major * col_dry[..., None] + tau_minor + tau_ray, 0.0)
+    tau_ray_c = jnp.maximum(tau_ray, 0.0)
+    ssa = jnp.where(tau > 0.0, tau_ray_c / jnp.where(tau > 0.0, tau, 1.0), 0.0)
+    dtype = as_.p_lay.dtype
+    return SWOptics(tau=tau[:, :ncol, :].astype(dtype), ssa=ssa[:, :ncol, :].astype(dtype))

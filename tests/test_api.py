@@ -1,0 +1,157 @@
+"""High-level API tests: RRTMGPSolver + radiation methods + getter surface.
+
+Mirrors the reference's API exercise inside the all-sky test
+(/root/reference/test/all_sky_with_aerosols_utils.jl:116-133, method list
+test/api_method_utils.jl:2-38).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rrtmgp_tpu as rt
+from rrtmgp_tpu.data.synthetic import (
+    synthetic_aerosol_lookup,
+    synthetic_atmosphere,
+    synthetic_cloud_lookup,
+    synthetic_gas_lookup,
+)
+from rrtmgp_tpu.models.gray import GrayOpticalThicknessSchneider2004, setup_gray_as_pr_grid
+from rrtmgp_tpu.parameters import RRTMGPParameters
+
+NBND_LW, NBND_SW = 2, 2
+NCOL, NLAY = 8, 30
+PARAMS = RRTMGPParameters()
+
+LOOKUPS = rt.LookupBundle(
+    lookup_lw=synthetic_gas_lookup(longwave=True, n_gpt=16, n_bnd=NBND_LW),
+    lookup_sw=synthetic_gas_lookup(longwave=False, n_gpt=16, n_bnd=NBND_SW, seed=1),
+    lookup_lw_cld=synthetic_cloud_lookup(n_bnd=NBND_LW),
+    lookup_sw_cld=synthetic_cloud_lookup(n_bnd=NBND_SW, seed=5),
+    lookup_lw_aero=synthetic_aerosol_lookup(n_bnd=NBND_LW),
+    lookup_sw_aero=synthetic_aerosol_lookup(n_bnd=NBND_SW, seed=6),
+)
+
+API_METHODS = [
+    # test/api_method_utils.jl:2-38 (clear_* and center_z/face_z need their modes)
+    "top_of_atmosphere_lw_flux_dn", "top_of_atmosphere_diffuse_sw_flux_dn",
+    "lw_flux_up", "lw_flux_dn", "lw_flux_net", "surface_emissivity",
+    "sw_flux_up", "sw_flux_dn", "sw_flux_net", "sw_direct_flux_dn",
+    "cloud_liquid_effective_radius", "cloud_ice_effective_radius",
+    "cloud_liquid_water_path", "cloud_ice_water_path", "cloud_fraction",
+    "aod_sw_extinction", "aod_sw_scattering", "cos_zenith", "toa_flux",
+    "direct_sw_surface_albedo", "diffuse_sw_surface_albedo",
+    "surface_temperature", "pressure", "temperature",
+    "optical_thickness_parameter", "relative_humidity",
+    "sw_cloud_cover", "lw_cloud_cover",
+]
+
+
+def _solver(method):
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, with_clouds=True, with_aerosols=True)
+    gp = rt.RRTMGPGridParams(nlay=NLAY, ncol=NCOL, dtype=jnp.float64)
+    bcs_lw = rt.LwBCs(sfc_emis=jnp.full((NBND_LW, NCOL), 0.98))
+    bcs_sw = rt.SwBCs(
+        cos_zenith=jnp.full((NCOL,), 0.6),
+        toa_flux=jnp.full((NCOL,), 1361.0),
+        sfc_alb_direct=jnp.full((NBND_SW, NCOL), 0.2),
+        sfc_alb_diffuse=jnp.full((NBND_SW, NCOL), 0.2),
+    )
+    return rt.RRTMGPSolver(gp, method, PARAMS, bcs_lw, bcs_sw, atm, lookups=LOOKUPS)
+
+
+@pytest.mark.parametrize(
+    "method",
+    [
+        rt.ClearSkyRadiation(False),
+        rt.ClearSkyRadiation(True),
+        rt.AllSkyRadiation(True, reset_rng_seed=True),
+    ],
+)
+def test_solver_modes(method):
+    s = _solver(method)
+    s.update_lw_fluxes()
+    s.update_sw_fluxes()
+    assert s.lw_flux_up().shape == (NLAY + 1, NCOL)
+    assert bool(jnp.all(jnp.isfinite(s.lw_flux_up())))
+    assert bool(jnp.all(jnp.isfinite(s.sw_flux_up())))
+    for name in API_METHODS:
+        getattr(s, name)()  # must not raise
+
+
+def test_clear_sky_diagnostics_double_solve():
+    """AllSkyWithClearSkyDiagnostics runs clear then cloudy (ref api.jl:132-176);
+    the clear diagnostic must equal a pure clear-sky solve, and differ from
+    the cloudy fluxes."""
+    s = _solver(rt.AllSkyRadiationWithClearSkyDiagnostics(True, True))
+    s.update_lw_fluxes()
+    s.update_sw_fluxes()
+    s_clear = _solver(rt.ClearSkyRadiation(True))
+    s_clear.update_lw_fluxes()
+    np.testing.assert_allclose(
+        np.asarray(s.clear_lw_flux_up()), np.asarray(s_clear.lw_flux_up()), rtol=1e-12
+    )
+    assert float(jnp.max(jnp.abs(s.clear_lw_flux_up() - s.lw_flux_up()))) > 1e-3
+    assert s.clear_sw_flux_up() is not None
+
+
+def test_mcica_reproducibility():
+    """reset_rng_seed contract: same step -> identical fluxes; different step
+    -> different McICA sampling (with fractional cloud cover)."""
+    s = _solver(rt.AllSkyRadiation(False, reset_rng_seed=True))
+    # fractional cloud cover so sampling matters
+    cs = s.as_.cloud_state
+    s.as_ = dataclasses.replace(
+        s.as_, cloud_state=dataclasses.replace(cs, cld_frac=cs.cld_frac * 0.5)
+    )
+    s.advance_step(7)
+    f1 = s.update_lw_fluxes()
+    s.advance_step(7)
+    f2 = s.update_lw_fluxes()
+    np.testing.assert_array_equal(np.asarray(f1.flux_up), np.asarray(f2.flux_up))
+    s.advance_step(8)
+    f3 = s.update_lw_fluxes()
+    assert float(jnp.max(jnp.abs(f3.flux_up - f1.flux_up))) > 0.0
+
+
+def test_gray_radiation_mode():
+    lat = jnp.linspace(-60.0, 60.0, NCOL)
+    atm = setup_gray_as_pr_grid(
+        40, lat, 100000.0, 9000.0, GrayOpticalThicknessSchneider2004(), PARAMS, dtype=jnp.float64
+    )
+    gp = rt.RRTMGPGridParams(nlay=40, ncol=NCOL, dtype=jnp.float64)
+    bcs_lw = rt.LwBCs(sfc_emis=jnp.ones((1, NCOL)))
+    bcs_sw = rt.SwBCs(
+        cos_zenith=jnp.full((NCOL,), 0.5),
+        toa_flux=jnp.full((NCOL,), 1361.0),
+        sfc_alb_direct=jnp.full((1, NCOL), 0.1),
+        sfc_alb_diffuse=jnp.full((1, NCOL), 0.1),
+    )
+    s = rt.RRTMGPSolver(gp, rt.GrayRadiation(), PARAMS, bcs_lw, bcs_sw, atm)
+    s.update_lw_fluxes()
+    s.update_sw_fluxes()
+    assert bool(jnp.all(jnp.isfinite(s.lw_flux_up())))
+    assert bool(jnp.all(jnp.isfinite(s.sw_direct_flux_dn())))
+
+
+def test_name_lists_and_views():
+    assert len(rt.aerosol_names()) == 15
+    assert set(rt.aerosol_names()) == set(rt.api.AEROSOL_INDEX)
+    assert len(rt.gas_names_sw()) == 21
+    x = jnp.zeros((11, 4))
+    assert rt.domain_view(True, x).shape == (10, 4)
+    assert rt.domain_view(False, x).shape == (11, 4)
+
+
+def test_volume_mixing_ratio_and_aero_getters():
+    s = _solver(rt.ClearSkyRadiation(True))
+    h2o = s.volume_mixing_ratio("h2o")
+    assert h2o.shape == (NLAY, NCOL)
+    co2 = s.volume_mixing_ratio("co2")
+    assert float(co2) == pytest.approx(397e-6)
+    r = s.aero_radius("dust1")
+    assert r.shape == (NLAY, NCOL)
+    m = s.aero_column_mass_density("sulfate")
+    assert float(jnp.max(m)) > 0.0
