@@ -1,0 +1,140 @@
+"""DYAMOND-scale benchmark harness.
+
+Mirrors the reference's GPU benchmark scripts
+(/root/reference/test/clear_sky_dyamond_gpu_benchmark.jl:102-124 and
+ test/{cloudy,all}_sky*_dyamond_gpu_benchmark.jl): clear-sky at
+ncol = ceil(30*30*6*4^2*64/61) = 90,650 columns and all-sky at
+ncol = ceil(86,400*64/73) = 75,748 columns, 60 layers, full spectral size,
+reporting median solve times and columns/s. Memory is bounded by sequential
+column chunks (models.rrtmgp.solve_chunked).
+
+Usage: python benchmarks/dyamond.py [clear|allsky] [--ncol N] [--chunk N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+CLEAR_NCOL = 90650   # ref clear_sky_dyamond_gpu_benchmark.jl:102
+ALLSKY_NCOL = 75748  # ref all_sky_with_aerosols_dyamond_gpu_benchmark.jl:114
+
+
+def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from rrtmgp_tpu.data.synthetic import (
+        synthetic_atmosphere,
+        synthetic_cloud_lookup,
+        synthetic_gas_lookup,
+    )
+    from rrtmgp_tpu.models.rrtmgp import solve_chunked, solve_lw, solve_sw
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+    from rrtmgp_tpu.states import LwBCs, SwBCs
+
+    dtype = np.float32
+    ncol_pad = -(-ncol // chunk) * chunk
+    print(f"mode={mode} ncol={ncol} (padded {ncol_pad}) chunk={chunk} nlay={nlay}")
+
+    lkp_lw = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=dtype)
+    lkp_sw = synthetic_gas_lookup(longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype)
+    atm = synthetic_atmosphere(
+        ncol=ncol_pad, nlay=nlay, dtype=dtype, with_clouds=(mode == "allsky")
+    )
+    bcs_lw = LwBCs(sfc_emis=jnp.full((16, ncol_pad), 0.98, jnp.float32))
+    bcs_sw = SwBCs(
+        cos_zenith=jnp.full((ncol_pad,), 0.6, jnp.float32),
+        toa_flux=jnp.full((ncol_pad,), 1361.0, jnp.float32),
+        sfc_alb_direct=jnp.full((14, ncol_pad), 0.2, jnp.float32),
+        sfc_alb_diffuse=jnp.full((14, ncol_pad), 0.2, jnp.float32),
+    )
+
+    tabs_lw = tabs_sw = None
+    if jax.default_backend() == "tpu":
+        from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables
+
+        tabs_lw = build_pallas_tables(lkp_lw)
+        tabs_sw = build_pallas_tables(lkp_sw)
+
+    lkp_cld_lw = lkp_cld_sw = None
+    if mode == "allsky":
+        lkp_cld_lw = synthetic_cloud_lookup(n_bnd=16, dtype=dtype)
+        lkp_cld_sw = synthetic_cloud_lookup(n_bnd=14, seed=5, dtype=dtype)
+
+    if mode == "clear":
+
+        @jax.jit
+        def f_lw(a, b):
+            return solve_chunked(
+                lambda ac, bc: solve_lw(lkp_lw, ac, bc, pallas_tables=tabs_lw)[0],
+                a, b, chunk,
+            )
+
+        @jax.jit
+        def f_sw(a, b):
+            return solve_chunked(
+                lambda ac, bc: solve_sw(lkp_sw, ac, bc, pallas_tables=tabs_sw)[0],
+                a, b, chunk,
+            )
+
+        args_lw = (atm, bcs_lw)
+        args_sw = (atm, bcs_sw)
+    else:
+        mask_lw = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, 256)
+        mask_sw = build_cloud_mask_mcica(jax.random.key(1), atm.cloud_state.cld_frac, 224)
+
+        @jax.jit
+        def f_lw(a, b, m):
+            return solve_chunked(
+                lambda ac, bc, mc: solve_lw(
+                    lkp_lw, ac, bc, two_stream=True, lkp_cld=lkp_cld_lw, cld_mask=mc,
+                    pallas_tables=tabs_lw,
+                )[0],
+                a, b, chunk, cld_mask=m,
+            )
+
+        @jax.jit
+        def f_sw(a, b, m):
+            return solve_chunked(
+                lambda ac, bc, mc: solve_sw(
+                    lkp_sw, ac, bc, lkp_cld=lkp_cld_sw, cld_mask=mc,
+                    pallas_tables=tabs_sw,
+                )[0],
+                a, b, chunk, cld_mask=m,
+            )
+
+        args_lw = (atm, bcs_lw, mask_lw)
+        args_sw = (atm, bcs_sw, mask_sw)
+
+    for name, f, args in (("LW", f_lw, args_lw), ("SW", f_sw, args_sw)):
+        t0 = time.perf_counter()
+        r = jax.block_until_ready(f(*args))
+        print(f"{name} compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            r = jax.block_until_ready(f(*args))
+            times.append(time.perf_counter() - t0)
+        med = statistics.median(times)
+        print(
+            f"{name} solve: median {med*1e3:.1f} ms -> {ncol/med:,.0f} columns/s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="clear", choices=["clear", "allsky"])
+    ap.add_argument("--ncol", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=10)
+    a = ap.parse_args()
+    ncol = a.ncol or (CLEAR_NCOL if a.mode == "clear" else ALLSKY_NCOL)
+    run(a.mode, ncol, a.chunk, n_iters=a.iters)

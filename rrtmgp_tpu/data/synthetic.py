@@ -241,12 +241,9 @@ def synthetic_atmosphere(
     vmr_h2o = 8e-3 * (p_lay / p_lay[0:1]) ** 2 + 3e-6
     vmr_o3 = 5e-8 + 8e-6 * np.exp(-((np.log(p_lay / 2500.0)) ** 2))
     vmr_gm = np.zeros(ngas + 1)
-    vmr_gm[2] = 397e-6   # co2
-    vmr_gm[4] = 3.2e-7   # n2o
-    vmr_gm[5] = 1.5e-7   # co
-    vmr_gm[6] = 1.8e-6   # ch4
-    vmr_gm[7] = 0.209    # o2
-    vmr_gm[8] = 0.781    # n2
+    for idx, val in ((2, 397e-6), (4, 3.2e-7), (5, 1.5e-7), (6, 1.8e-6), (7, 0.209), (8, 0.781)):
+        if idx <= ngas:  # co2, n2o, co, ch4, o2, n2 (skip gases beyond this lookup)
+            vmr_gm[idx] = val
 
     vmr = VmrGM(
         vmr_h2o=jnp.asarray(vmr_h2o, dtype),

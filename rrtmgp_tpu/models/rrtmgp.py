@@ -58,6 +58,47 @@ class SolveDiagnostics(NamedTuple):
     aod_sw_sca: jax.Array | None = None
 
 
+def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *, cld_mask=None):
+    """Run a solve over column chunks sequentially (lax.map) to bound memory.
+
+    The reference bounds memory by serializing the g-point loop with one flux
+    temp buffer (/root/reference/src/optics/RTE.jl:47); the TPU-native
+    equivalent serializes COLUMN chunks — the embarrassingly parallel axis —
+    keeping the full spectrum batched on-chip. ncol must be a multiple of
+    ``chunk`` (pad upstream). cld_mask, when given, is chunked too.
+
+    solve_fn: (atm_chunk, bcs_chunk[, cld_mask_chunk]) -> flux namedtuple.
+    Returns the flux namedtuple with columns re-concatenated.
+    """
+    ncol = as_.ncol
+    assert ncol % chunk == 0, (ncol, chunk)
+    n_chunks = ncol // chunk
+
+    def chunk_leaf(x):
+        if x is None or not hasattr(x, "ndim"):
+            return x
+        if x.ndim == 0 or x.shape[-1] != ncol:
+            # replicated leaf (e.g. global-mean vmr vector): broadcast over chunks
+            return jnp.broadcast_to(x[None], (n_chunks, *x.shape))
+        return jnp.moveaxis(x.reshape(*x.shape[:-1], n_chunks, chunk), -2, 0)
+
+    as_c = jax.tree_util.tree_map(chunk_leaf, as_)
+    bcs_c = jax.tree_util.tree_map(chunk_leaf, bcs)
+
+    if cld_mask is not None:
+        # (nlay, ncol, ngpt): chunk the middle axis
+        m = cld_mask.reshape(cld_mask.shape[0], n_chunks, chunk, cld_mask.shape[-1])
+        m = jnp.moveaxis(m, 1, 0)
+        fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c, m))
+    else:
+        fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c))
+
+    def unchunk(x):  # (n_chunks, nlev, chunk) -> (nlev, ncol)
+        return jnp.moveaxis(x, 0, -2).reshape(*x.shape[1:-1], ncol)
+
+    return jax.tree_util.tree_map(unchunk, fluxes)
+
+
 def _bands_to_gpt(lkp: GasLookup, x_bands: jax.Array) -> jax.Array:
     """Expand a per-band array (..., nbnd) to per-g-point (..., ngpt)."""
     return jnp.take(x_bands, jnp.asarray(gpt2band_np(lkp)), axis=-1)

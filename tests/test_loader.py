@@ -1,0 +1,233 @@
+"""Loader tests: write a synthetic rrtmgp-data-shaped NetCDF file and load it.
+
+Exercises data/netcdf.py + data/loader.py end-to-end without network access:
+variable parsing, axis-order inference, gas-name indexing with h2o aliases,
+key-species 0/0 -> 2/2 rule, minor-interval metadata, and SW solar-source
+composition (ref /root/reference/ext/lookup_constructors.jl).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rrtmgp_tpu.data.loader import load_gas_lookup
+from rrtmgp_tpu.data.netcdf import Dataset
+
+NBND, NGPT, NETA, NPRESS, NTEMP, NPLNK = 2, 32, 9, 20, 6, 30
+GASES = ["h2o", "co2", "o3", "n2o"]
+STRLEN = 32
+
+
+def _write_gas_nc(path, longwave=True):
+    from scipy.io import netcdf_file
+
+    rng = np.random.default_rng(0)
+    f = netcdf_file(path, "w")
+    f.createDimension("bnd", NBND)
+    f.createDimension("gpt", NGPT)
+    f.createDimension("atmos_layer", 2)
+    f.createDimension("temperature", NTEMP)
+    f.createDimension("pressure", NPRESS)
+    f.createDimension("mixing_fraction", NETA)
+    f.createDimension("absorber", len(GASES))
+    f.createDimension("absorber_ext", len(GASES) + 1)
+    f.createDimension("minor_absorber_intervals_lower", 2)
+    f.createDimension("minor_absorber_intervals_upper", 1)
+    f.createDimension("contributors_lower", 2 * NGPT // NBND)
+    f.createDimension("contributors_upper", NGPT // NBND)
+    f.createDimension("pair", 2)
+    f.createDimension("string_len", STRLEN)
+    f.createDimension("one", 1)
+    f.createDimension("pressure_interp", NPRESS + 1)
+    if longwave:
+        f.createDimension("temperature_Planck", NPLNK)
+
+    def chars(names, dim):
+        v = f.createVariable(dim + "_var_tmp", "c", (dim, "string_len"))
+        arr = np.zeros((len(names), STRLEN), dtype="S1")
+        for i, n in enumerate(names):
+            for j, ch in enumerate(n):
+                arr[i, j] = ch.encode()
+        v[:] = arr
+        return v
+
+    # gas names
+    gv = f.createVariable("gas_names", "c", ("absorber", "string_len"))
+    arr = np.full((len(GASES), STRLEN), b" ", dtype="S1")
+    for i, n in enumerate(GASES):
+        arr[i, : len(n)] = list(n.encode().decode())
+    gv[:] = arr
+
+    def mk(name, dims, data):
+        v = f.createVariable(name, "d", dims)
+        if dims == ():
+            v.assignValue(data)
+        else:
+            v[:] = data
+        return v
+
+    p_ref = np.logspace(np.log10(105000.0), np.log10(10.0), NPRESS)
+    mk("press_ref", ("pressure",), p_ref)
+    mk("temp_ref", ("temperature",), np.linspace(160.0, 360.0, NTEMP))
+    mk("press_ref_trop", ("one",), np.array([9948.4]))
+    mk("absorption_coefficient_ref_T", ("one",), np.array([250.0]))
+    mk("absorption_coefficient_ref_P", ("one",), np.array([1000.0]))
+
+    # key_species (bnd, atmos_layer, pair); band 1 has 0/0 in upper -> 2/2 rule
+    ks = np.array([[[1, 2], [1, 2]], [[3, 2], [0, 0]]], np.int32)
+    mk("key_species", ("bnd", "atmos_layer", "pair"), ks)
+    mk("bnd_limits_gpt", ("bnd", "pair"), np.array([[1, 16], [17, 32]]))
+    mk("bnd_limits_wavenumber", ("bnd", "pair"), np.array([[10.0, 350.0], [350.0, 1300.0]]))
+
+    # kmajor file order: (temperature, pressure_interp, mixing_fraction, gpt)
+    kmajor = rng.random((NTEMP, NPRESS + 1, NETA, NGPT))
+    mk("kmajor", ("temperature", "pressure_interp", "mixing_fraction", "gpt"), kmajor)
+    vmr_ref = rng.random((2, len(GASES) + 1, NTEMP)) + 0.1
+    mk("vmr_ref", ("atmos_layer", "absorber_ext", "temperature"), vmr_ref)
+
+    # minor gases
+    lv = f.createVariable("minor_gases_lower", "c", ("minor_absorber_intervals_lower", "string_len"))
+    la = np.full((2, STRLEN), b" ", dtype="S1")
+    for i, n in enumerate(["n2o", "co2"]):
+        la[i, : len(n)] = list(n)
+    lv[:] = la
+    sv = f.createVariable("scaling_gas_lower", "c", ("minor_absorber_intervals_lower", "string_len"))
+    sa = np.full((2, STRLEN), b" ", dtype="S1")
+    sa[0, :3] = list("h2o")
+    sv[:] = sa
+    uv = f.createVariable("minor_gases_upper", "c", ("minor_absorber_intervals_upper", "string_len"))
+    ua = np.full((1, STRLEN), b" ", dtype="S1")
+    ua[0, :3] = list("o3\x00"[:3])
+    ua[0, :2] = list("o3")
+    uv[:] = ua
+    suv = f.createVariable("scaling_gas_upper", "c", ("minor_absorber_intervals_upper", "string_len"))
+    suv[:] = np.full((1, STRLEN), b" ", dtype="S1")
+
+    mk("minor_scales_with_density_lower", ("minor_absorber_intervals_lower",), np.array([1, 0]))
+    mk("minor_scales_with_density_upper", ("minor_absorber_intervals_upper",), np.array([0]))
+    mk("scale_by_complement_lower", ("minor_absorber_intervals_lower",), np.array([1, 0]))
+    mk("scale_by_complement_upper", ("minor_absorber_intervals_upper",), np.array([0]))
+    mk("minor_limits_gpt_lower", ("minor_absorber_intervals_lower", "pair"), np.array([[1, 16], [17, 32]]))
+    mk("minor_limits_gpt_upper", ("minor_absorber_intervals_upper", "pair"), np.array([[1, 16]]))
+    mk("kminor_start_lower", ("minor_absorber_intervals_lower",), np.array([1, 17]))
+    mk("kminor_start_upper", ("minor_absorber_intervals_upper",), np.array([1]))
+    mk(
+        "kminor_lower",
+        ("temperature", "mixing_fraction", "contributors_lower"),
+        rng.random((NTEMP, NETA, 2 * NGPT // NBND)),
+    )
+    mk(
+        "kminor_upper",
+        ("temperature", "mixing_fraction", "contributors_upper"),
+        rng.random((NTEMP, NETA, NGPT // NBND)),
+    )
+
+    if longwave:
+        mk(
+            "plank_fraction",
+            ("temperature", "pressure_interp", "mixing_fraction", "gpt"),
+            rng.random((NTEMP, NPRESS + 1, NETA, NGPT)),
+        )
+        mk("temperature_Planck", ("temperature_Planck",), np.linspace(160.0, 355.0, NPLNK))
+        mk("totplnk", ("temperature_Planck", "bnd"), rng.random((NPLNK, NBND)))
+    else:
+        mk(
+            "rayl_lower",
+            ("temperature", "mixing_fraction", "gpt"),
+            rng.random((NTEMP, NETA, NGPT)),
+        )
+        mk(
+            "rayl_upper",
+            ("temperature", "mixing_fraction", "gpt"),
+            rng.random((NTEMP, NETA, NGPT)),
+        )
+        mk("solar_source_quiet", ("gpt",), np.full(NGPT, 4.0))
+        mk("solar_source_facular", ("gpt",), np.full(NGPT, 1.0))
+        mk("solar_source_sunspot", ("gpt",), np.full(NGPT, 2.0))
+        mk("mg_default", ("one",), np.array([0.1567652]))
+        mk("sb_default", ("one",), np.array([902.71260]))
+    f.close()
+
+
+@pytest.fixture(scope="module")
+def lw_file(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("nc") / "gas-lw.nc")
+    _write_gas_nc(p, longwave=True)
+    return p
+
+
+@pytest.fixture(scope="module")
+def sw_file(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("nc") / "gas-sw.nc")
+    _write_gas_nc(p, longwave=False)
+    return p
+
+
+def test_dataset_reader(lw_file):
+    ds = Dataset(lw_file)
+    assert ds.dims["gpt"] == NGPT
+    assert ds.dims["bnd"] == NBND
+    assert "kmajor" in ds
+
+
+def test_load_gas_lookup_lw(lw_file):
+    lkp = load_gas_lookup(lw_file)
+    assert lkp.is_longwave
+    assert lkp.n_gpt == NGPT and lkp.n_bnd == NBND
+    assert lkp.kmajor.shape == (NGPT, NPRESS + 1, NTEMP, NETA)
+    assert lkp.planck_fraction.shape == (NGPT, NPRESS + 1, NTEMP, NETA)
+    assert lkp.totplnk.shape == (NPLNK, NBND)
+    assert lkp.idx_h2o == 1
+    assert lkp.gas_names == tuple(GASES)
+    # 0/0 -> 2/2 rule on band 1 upper
+    assert lkp.key_species[1][1] == (2, 2)
+    assert lkp.key_species[0][0] == (1, 2)
+    # band limits converted to 0-based exclusive
+    assert lkp.bnd_lims_gpt == ((0, 16), (16, 32))
+    # minor metadata: n2o with h2o-complement density scaling
+    itv = lkp.minor_lower[0]
+    assert itv.gas == 4 and itv.scaling_gas == 1
+    assert itv.scales_with_density and itv.scale_by_complement
+    assert (itv.gpt0, itv.gpt1, itv.k0) == (0, 16, 0)
+    itv2 = lkp.minor_lower[1]
+    assert itv2.gas == 2 and not itv2.scales_with_density
+    assert (itv2.gpt0, itv2.gpt1, itv2.k0) == (16, 32, 16)
+    # uniform grids
+    assert lkp.t_ref_delta == pytest.approx(40.0)
+    assert lkp.p_ref_tropo == pytest.approx(9948.4)
+    # eta_half consistency with vmr_ref
+    ds = Dataset(lw_file)
+    vmr_ref = np.asarray(ds["vmr_ref"])
+    np.testing.assert_allclose(
+        np.asarray(lkp.eta_half)[0, 0], vmr_ref[0, 1] / vmr_ref[0, 2], rtol=1e-12
+    )
+
+
+def test_load_gas_lookup_sw(sw_file):
+    lkp = load_gas_lookup(sw_file)
+    assert not lkp.is_longwave
+    assert lkp.rayl.shape == (2, NGPT, NTEMP, NETA)
+    # solar source composition (ref lookup_constructors.jl:543-551)
+    mg, sb = 0.1567652, 902.71260
+    a_off, b_off = 0.1495954, 0.00066696
+    per_gpt = 4.0 + (mg - a_off) * 1.0 + (sb - b_off) * 2.0
+    assert lkp.solar_src_tot == pytest.approx(per_gpt * NGPT)
+    np.testing.assert_allclose(np.asarray(lkp.solar_src_scaled), 1.0 / NGPT, rtol=1e-12)
+
+
+def test_loaded_lookup_runs_solver(lw_file):
+    """A loaded (file-backed) lookup drives a full LW solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from rrtmgp_tpu.data.synthetic import synthetic_atmosphere
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.states import LwBCs
+
+    lkp = load_gas_lookup(lw_file)
+    atm = synthetic_atmosphere(ncol=4, nlay=20, ngas=len(GASES))
+    bcs = LwBCs(sfc_emis=jnp.full((NBND, 4), 0.98))
+    flux, _ = jax.jit(lambda a, b: solve_lw(lkp, a, b))(atm, bcs)
+    assert bool(jnp.all(jnp.isfinite(flux.flux_up)))
+    assert float(jnp.min(flux.flux_up)) >= 0.0
