@@ -214,6 +214,7 @@ def synthetic_atmosphere(
     ncol: int = 8,
     nlay: int = 42,
     ngas: int = len(GAS_NAMES),
+    p_top: float = 1.2,
     seed: int = 7,
     dtype=np.float64,
     params: RRTMGPParameters = RRTMGPParameters(),
@@ -225,7 +226,6 @@ def synthetic_atmosphere(
 
     rng = np.random.default_rng(seed)
     p0 = 101000.0 + rng.normal(0, 500, ncol)
-    p_top = 1.2
     # log-spaced levels, surface -> TOA
     p_lev = np.exp(
         np.linspace(np.log(p0), np.full(ncol, np.log(p_top)), nlay + 1)

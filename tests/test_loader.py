@@ -226,7 +226,7 @@ def test_loaded_lookup_runs_solver(lw_file):
     from rrtmgp_tpu.states import LwBCs
 
     lkp = load_gas_lookup(lw_file)
-    atm = synthetic_atmosphere(ncol=4, nlay=20, ngas=len(GASES))
+    atm = synthetic_atmosphere(ncol=4, nlay=20, ngas=len(GASES), p_top=12.0)
     bcs = LwBCs(sfc_emis=jnp.full((NBND, 4), 0.98))
     flux, _ = jax.jit(lambda a, b: solve_lw(lkp, a, b))(atm, bcs)
     assert bool(jnp.all(jnp.isfinite(flux.flux_up)))
