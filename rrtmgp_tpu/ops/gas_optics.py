@@ -85,21 +85,43 @@ def compute_pt_interp(lkp: GasLookup, p_lay: jax.Array, t_lay: jax.Array) -> PTI
     return PTInterp(jtemp, ftemp, jpress_base, fpress, tropo_lower)
 
 
-def _eta_for(lkp: GasLookup, vmr, pt: PTInterp, ibnd: int, tropo: int):
-    """Eta interp data for band ``ibnd``, troposphere side ``tropo``
-    (ref gas_optics.jl:123-150). Returns 6 arrays (nlay, ncol)."""
-    g1, g2 = lkp.key_species[ibnd][tropo]
-    vmr1 = get_vmr(vmr, g1)
-    vmr2 = get_vmr(vmr, g2)
-    ratio_t = lkp.eta_half[ibnd, tropo]  # (ntemp,)
+def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
+    """Tropo-selected eta data stacked over bands: each field (nlay, ncol, nbnd).
+
+    Vectorized over the band axis: key-species VMRs are stacked at trace time
+    (static key_species table), then one fused chain computes all bands'
+    col_mix/eta/indices at once (a per-band loop here cost ~25% of the whole
+    LW optics in small VPU ops).
+    """
+    nbnd = lkp.n_bnd
     n_eta = lkp.n_eta
     dtype = lkp.eta_half.dtype
+    shape2d = pt.jtemp.shape
+
+    def vmr_stack(slot):
+        cols = []
+        for b in range(nbnd):
+            pair = [
+                jnp.broadcast_to(get_vmr(vmr, lkp.key_species[b][t][slot]), shape2d)
+                for t in (0, 1)
+            ]
+            cols.append(jnp.stack(pair, axis=-1))
+        return jnp.stack(cols, axis=-2).astype(dtype)  # (nlay, ncol, nbnd, 2)
+
+    sel = pt.tropo_lower[..., None]
+    vmr1s = vmr_stack(0)
+    vmr2s = vmr_stack(1)
+    vmr1 = jnp.where(sel, vmr1s[..., 0], vmr1s[..., 1])  # (nlay, ncol, nbnd)
+    vmr2 = jnp.where(sel, vmr2s[..., 0], vmr2s[..., 1])
+
+    # eta_half rows by temperature: (nbnd, 2, ntemp) -> (ntemp, nbnd, 2)
+    eh = jnp.transpose(lkp.eta_half, (2, 0, 1))
 
     outs = []
     for itemp in (0, 1):
-        eta_half = ratio_t[pt.jtemp + itemp]  # (nlay, ncol) gather from tiny vector
+        ehg = eh[pt.jtemp + itemp]                        # (nlay, ncol, nbnd, 2)
+        eta_half = jnp.where(sel, ehg[..., 0], ehg[..., 1])
         col_mix = vmr1 + eta_half * vmr2
-        col_mix = jnp.broadcast_to(col_mix, pt.jtemp.shape).astype(dtype)
         eta = jnp.where(col_mix > 0.0, vmr1 / jnp.where(col_mix > 0.0, col_mix, 1.0), 0.5)
         loc_eta = eta * (n_eta - 1)
         trunc = jnp.floor(loc_eta)
@@ -107,24 +129,7 @@ def _eta_for(lkp: GasLookup, vmr, pt: PTInterp, ibnd: int, tropo: int):
         feta = loc_eta - trunc
         outs.append((jeta, feta, col_mix))
     (j1, f1, c1), (j2, f2, c2) = outs
-    return j1, f1, j2, f2, c1, c2
-
-
-def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
-    """Tropo-selected eta data stacked over bands: each field (nlay, ncol, nbnd)."""
-    per_band = []
-    for ibnd in range(lkp.n_bnd):
-        lo = _eta_for(lkp, vmr, pt, ibnd, 0)
-        if lkp.key_species[ibnd][1] == lkp.key_species[ibnd][0]:
-            per_band.append(lo)
-        else:
-            up = _eta_for(lkp, vmr, pt, ibnd, 1)
-            sel = pt.tropo_lower
-            per_band.append(tuple(jnp.where(sel, a, b) for a, b in zip(lo, up)))
-    stacked = tuple(
-        jnp.stack([pb[i] for pb in per_band], axis=-1) for i in range(6)
-    )
-    return EtaInterp(*stacked)
+    return EtaInterp(j1, f1, j2, f2, c1, c2)
 
 
 def gpt2band_np(lkp: GasLookup) -> np.ndarray:

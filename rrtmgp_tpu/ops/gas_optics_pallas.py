@@ -41,15 +41,14 @@ from .gas_optics import (
 )
 
 
-@pytree_dataclass(meta_fields=("minor_ng",))
+@pytree_dataclass(meta_fields=("minor_groups", "minor_ntp"))
 class PallasGasTables:
     """bf16 hi/lo e-major tables for the Pallas kernels.
 
-    kminor tables are concatenated per side with per-interval row offsets
-    implied by the static metadata (intervals keep their k0 offsets; each
-    interval's sub-table is (ntemp, ng*neta) e-major, stacked along rows of a
-    single (n_intervals*ntemp_pad, maxcols) buffer would waste space — so we
-    store per-interval tuples instead; interval count is static).
+    Minor-gas intervals are GROUPED by (side, g-point range): each group's
+    interval sub-tables — (ntp, neta*gpt_pad(ng)) e-major — stack along rows
+    into one (n_i*ntp, ...) buffer contracted by a single MXU call with
+    per-interval scalings folded into the one-hot weights.
     """
 
     kmajor_hi: jax.Array
@@ -58,11 +57,10 @@ class PallasGasTables:
     planck_lo: jax.Array | None
     rayl_hi: jax.Array | None
     rayl_lo: jax.Array | None
-    minor_lower_hi: tuple
-    minor_lower_lo: tuple
-    minor_upper_hi: tuple
-    minor_upper_lo: tuple
-    minor_ng: tuple  # ((side, interval_ng...), ...) static
+    minor_hi: tuple   # one stacked array per group
+    minor_lo: tuple
+    minor_groups: tuple  # static: (side, gpt0, gpt1, (MinorInterval, ...)) per group
+    minor_ntp: int       # padded temperature rows per interval
 
 
 def _minor_emajor(kminor, itv):
@@ -102,8 +100,9 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         rayl_hi = k2.astype(jnp.bfloat16)
         rayl_lo = (k2 - rayl_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    ml_hi, ml_lo, mu_hi, mu_lo = [], [], [], []
-    ng_meta = [[], []]
+    # group minor intervals by (side, gpt range); stack sub-tables along rows
+    ntp = -(-lkp.n_temp // 16) * 16
+    groups: dict = {}
     for side, intervals, kminor in (
         (0, lkp.minor_lower, lkp.kminor_lower),
         (1, lkp.minor_upper, lkp.kminor_upper),
@@ -111,10 +110,17 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         for itv in intervals:
             if itv.gas == 0:
                 continue
+            key = (side, itv.gpt0, itv.gpt1)
             hi, lo = _minor_emajor(kminor, itv)
-            (ml_hi if side == 0 else mu_hi).append(hi)
-            (ml_lo if side == 0 else mu_lo).append(lo)
-            ng_meta[side].append(itv.gpt1 - itv.gpt0)
+            groups.setdefault(key, ([], [], []))
+            groups[key][0].append(itv)
+            groups[key][1].append(hi)
+            groups[key][2].append(lo)
+    group_meta, group_hi, group_lo = [], [], []
+    for (side, g0, g1), (itvs, his, los) in sorted(groups.items()):
+        group_meta.append((side, g0, g1, tuple(itvs)))
+        group_hi.append(jnp.concatenate(his, axis=0))
+        group_lo.append(jnp.concatenate(los, axis=0))
     return PallasGasTables(
         kmajor_hi=kmajor_hi,
         kmajor_lo=kmajor_lo,
@@ -122,11 +128,10 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         planck_lo=planck_lo,
         rayl_hi=rayl_hi,
         rayl_lo=rayl_lo,
-        minor_lower_hi=tuple(ml_hi),
-        minor_lower_lo=tuple(ml_lo),
-        minor_upper_hi=tuple(mu_hi),
-        minor_upper_lo=tuple(mu_lo),
-        minor_ng=(tuple(ng_meta[0]), tuple(ng_meta[1])),
+        minor_hi=tuple(group_hi),
+        minor_lo=tuple(group_lo),
+        minor_groups=tuple(group_meta),
+        minor_ntp=ntp,
     )
 
 
@@ -199,8 +204,9 @@ def _prep(lkp: GasLookup, as_: AtmosphericState, block: int):
 def _tau_minor_pallas(
     lkp, tables, as_, pt2d, eta2d, ncol_pad, block
 ):
-    """Minor-gas tau via per-interval kernel calls (fp=0 maps interp2d onto
-    the same kernel; interval scaling x tropo mask folded into cm)."""
+    """Minor-gas tau via grouped kernel calls: one MXU contraction per
+    (side, g-point range) group with per-interval scalings folded into the
+    one-hot weights (ref gas_optics.jl:255-306)."""
     nlay = as_.nlay
     rows = nlay * ncol_pad
     dtype = jnp.float32
@@ -216,63 +222,53 @@ def _tau_minor_pallas(
     dry_fact = 1.0 / (1.0 + vmr_h2o)
     density_fact = 0.01 * p_lay / t_lay
 
+    def interval_scaling(itv, mask):
+        vmr_m = get_vmr(vmr, itv.gas)
+        if vmr_m.ndim == 2:
+            vmr_m = _pad_cols(vmr_m, ncol_pad)
+        scaling = vmr_m.astype(dtype) * col_dry
+        if itv.scales_with_density:
+            scaling = scaling * density_fact
+            if itv.scaling_gas > 0:
+                sg = get_vmr(vmr, itv.scaling_gas)
+                if sg.ndim == 2:
+                    sg = _pad_cols(sg, ncol_pad)
+                sg = sg.astype(dtype)
+                if itv.scale_by_complement:
+                    scaling = scaling * (1.0 - sg * dry_fact)
+                else:
+                    scaling = scaling * (sg * dry_fact)
+        return jnp.where(mask, scaling, 0.0)
+
     g2b = gpt2band_np(lkp)
-    zeros_fp = jnp.zeros((rows,), dtype)
-    # accumulate per static g-point range; ranges that tile the gpt axis
-    # disjointly concatenate at the end instead of scatter-adding into the
-    # full (nlay, ncol, ngpt) tensor (the adds were the dominant cost)
+    jt_flat = _flat(pt2d.jtemp, rows).astype(jnp.int32)
+    ft_flat = _flat(pt2d.ftemp, rows).astype(dtype)
+
     segments: dict = {}
-
-    for side, intervals, t_hi, t_lo in (
-        (0, lkp.minor_lower, tables.minor_lower_hi, tables.minor_lower_lo),
-        (1, lkp.minor_upper, tables.minor_upper_hi, tables.minor_upper_lo),
-    ):
+    for gi, (side, g0, g1, itvs) in enumerate(tables.minor_groups):
         mask = pt2d.tropo_lower if side == 0 else jnp.logical_not(pt2d.tropo_lower)
-        idx = 0
-        for itv in intervals:
-            if itv.gas == 0:
-                continue
-            vmr_m = get_vmr(vmr, itv.gas)
-            if vmr_m.ndim == 2:
-                vmr_m = _pad_cols(vmr_m, ncol_pad)
-            scaling = vmr_m.astype(dtype) * col_dry
-            if itv.scales_with_density:
-                scaling = scaling * density_fact
-                if itv.scaling_gas > 0:
-                    sg = get_vmr(vmr, itv.scaling_gas)
-                    if sg.ndim == 2:
-                        sg = _pad_cols(sg, ncol_pad)
-                    sg = sg.astype(dtype)
-                    if itv.scale_by_complement:
-                        scaling = scaling * (1.0 - sg * dry_fact)
-                    else:
-                        scaling = scaling * (sg * dry_fact)
-            scaling = jnp.where(mask, scaling, 0.0)
-            ibnd = int(g2b[itv.gpt0])
-            ng = itv.gpt1 - itv.gpt0
-
-            cm = scaling.reshape(rows, 1)
-            out = pk.interp_pt_eta(
-                t_hi[idx],
-                t_lo[idx],
-                _flat(pt2d.jtemp, rows).astype(jnp.int32),
-                zeros_fp,
-                _flat(pt2d.ftemp, rows).astype(jnp.float32),
-                eta2d.jeta1[:, :, ibnd].reshape(rows, 1),
-                eta2d.feta1[:, :, ibnd].reshape(rows, 1).astype(dtype),
-                eta2d.jeta2[:, :, ibnd].reshape(rows, 1),
-                eta2d.feta2[:, :, ibnd].reshape(rows, 1).astype(dtype),
-                cm,
-                cm,
-                n_temp=1,  # second row of each pair = jt+1
-                n_eta=lkp.n_eta,
-                n_gpt=ng,
-                bnd_lims_gpt=((0, ng),),
-                block_rows=block,
-            ).reshape(nlay, ncol_pad, ng)
-            key = (itv.gpt0, itv.gpt1)
-            segments[key] = out if key not in segments else segments[key] + out
-            idx += 1
+        scal = jnp.stack(
+            [interval_scaling(itv, mask) for itv in itvs], axis=-1
+        )  # (nlay, ncol_pad, n_i)
+        ibnd = int(g2b[g0])
+        out = pk.interp_minor_group(
+            tables.minor_hi[gi],
+            tables.minor_lo[gi],
+            jt_flat,
+            ft_flat,
+            _flat(scal, rows),
+            eta2d.jeta1[:, :, ibnd].reshape(rows).astype(jnp.int32),
+            eta2d.feta1[:, :, ibnd].reshape(rows).astype(dtype),
+            eta2d.jeta2[:, :, ibnd].reshape(rows).astype(jnp.int32),
+            eta2d.feta2[:, :, ibnd].reshape(rows).astype(dtype),
+            ntp=tables.minor_ntp,
+            n_eta=lkp.n_eta,
+            n_gpt=g1 - g0,
+            n_i=len(itvs),
+            block_rows=block,
+        ).reshape(nlay, ncol_pad, g1 - g0)
+        key = (g0, g1)
+        segments[key] = out if key not in segments else segments[key] + out
 
     # assemble: if the ranges are disjoint, concatenate with zero filler;
     # otherwise fall back to scatter-adds

@@ -263,6 +263,86 @@ def interp_pt_eta_windowed(
     return out[:, :n_gpt]
 
 
+def _minor_group_kernel(jt_ref, ft_ref, scal_ref, je1_ref, fe1_ref, je2_ref,
+                        fe2_ref, khi_ref, klo_ref, out_ref,
+                        *, ntp, n_eta, n_gpt_pad, n_i):
+    """Grouped minor-gas contraction: intervals sharing one g-point range.
+
+    All intervals share the same (temp, eta) interpolation data; the W matrix
+    carries each interval's scaling in its 1-hot rows, so ONE MXU contraction
+    sums Sum_i scaling_i * interp_t(kminor_i) — the reference's per-interval
+    accumulation loop (gas_optics.jl:283-303) as a single matmul.
+    """
+    b = jt_ref.shape[0]
+    jt = jt_ref[:]       # (B, 1)
+    ft = ft_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, ntp), 1)
+
+    acc = jnp.zeros((b, n_gpt_pad), jnp.float32)
+    for half in (0, 1):
+        blocks = []
+        for i in range(n_i):
+            blocks.append(jnp.where(iota == jt + half, scal_ref[:, i : i + 1], 0.0))
+        w = jnp.concatenate(blocks, axis=1)  # (B, n_i*ntp)
+        r = _dot_f32(w, khi_ref[:], klo_ref[:])  # (B, neta*ngp)
+
+        je = (je1_ref if half == 0 else je2_ref)[:]
+        fe = (fe1_ref if half == 0 else fe2_ref)[:]
+        wt = ft if half else (1.0 - ft)
+        half_acc = jnp.zeros((b, n_gpt_pad), jnp.float32)
+        for e in range(n_eta):
+            w_e = jnp.where(je == e, 1.0 - fe, 0.0) + jnp.where(je + 1 == e, fe, 0.0)
+            half_acc = half_acc + r[:, e * n_gpt_pad : (e + 1) * n_gpt_pad] * w_e
+        acc = acc + wt * half_acc
+    out_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ntp", "n_eta", "n_gpt", "n_i", "block_rows")
+)
+def interp_minor_group(
+    k2_hi: jax.Array,   # (n_i * ntp, neta * gpt_pad(n_gpt)) bf16, stacked intervals
+    k2_lo: jax.Array,
+    jt: jax.Array,      # (rows,) int32 temperature row
+    ft: jax.Array,      # (rows,)
+    scal: jax.Array,    # (rows, n_i) per-interval scaling (x tropo mask)
+    je1: jax.Array,     # (rows,) int32 — the group's band eta indices
+    fe1: jax.Array,
+    je2: jax.Array,
+    fe2: jax.Array,
+    *,
+    ntp: int,
+    n_eta: int,
+    n_gpt: int,
+    n_i: int,
+    block_rows: int = 256,
+) -> jax.Array:
+    """Minor-gas tau for one interval group; returns (rows, n_gpt) f32."""
+    rows = jt.shape[0]
+    assert rows % block_rows == 0
+    npad = gpt_pad(n_gpt)
+    col = lambda x: x.reshape(rows, 1)
+    row_spec = lambda width: pl.BlockSpec(
+        (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _minor_group_kernel, ntp=ntp, n_eta=n_eta, n_gpt_pad=npad, n_i=n_i
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // block_rows,),
+        in_specs=[
+            row_spec(1), row_spec(1), row_spec(n_i),
+            row_spec(1), row_spec(1), row_spec(1), row_spec(1),
+            full(k2_hi), full(k2_lo),
+        ],
+        out_specs=row_spec(npad),
+        out_shape=jax.ShapeDtypeStruct((rows, npad), jnp.float32),
+    )(col(jt), col(ft), scal, col(je1), col(fe1), col(je2), col(fe2), k2_hi, k2_lo)
+    return out[:, :n_gpt]
+
+
 def window_bases(q: jax.Array, n_temp: int, n_rows: int, window: int):
     """Per-layer window base + validity for the windowed kernel.
 
