@@ -188,6 +188,7 @@ def solve_lw(
     cld_mask: jax.Array | None = None,   # (nlay, ncol, ngpt) McICA mask
     metric_scaling: jax.Array | None = None,
     pallas_tables=None,                  # PallasGasTables -> TPU kernel path
+    pallas_rte: bool | None = None,      # None: auto (on iff pallas_tables, f32)
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -219,18 +220,29 @@ def solve_lw(
 
     sfc_emis = _bands_to_gpt(lkp, bcs.sfc_emis.T)  # (ncol, ngpt)
     inc = bcs.inc_flux
+    if pallas_rte is None:
+        pallas_rte = pallas_tables is not None and dtype == jnp.float32
     if two_stream:
         up, dn = rte.lw_2stream(
             tau, ssa, g_asym, optics.sources.lev_source,
             optics.sources.sfc_source, sfc_emis, inc,
+        )
+        flux_up = jnp.sum(up, axis=-1)
+        flux_dn = jnp.sum(dn, axis=-1)
+    elif pallas_rte:
+        from ..ops.pallas_rte import lw_noscat_pallas_reduced
+
+        flux_up, flux_dn = lw_noscat_pallas_reduced(
+            tau, optics.sources.lay_source, optics.sources.lev_source,
+            optics.sources.sfc_source, sfc_emis, float(Ds[0]), float(wts[0]), inc,
         )
     else:
         up, dn = rte.lw_noscat(
             tau, optics.sources.lay_source, optics.sources.lev_source,
             optics.sources.sfc_source, sfc_emis, float(Ds[0]), float(wts[0]), inc,
         )
-    flux_up = jnp.sum(up, axis=-1)
-    flux_dn = jnp.sum(dn, axis=-1)
+        flux_up = jnp.sum(up, axis=-1)
+        flux_dn = jnp.sum(dn, axis=-1)
 
     flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
     flux = _apply_metric_scaling(flux, metric_scaling)
@@ -254,6 +266,7 @@ def solve_sw(
     cld_mask: jax.Array | None = None,
     metric_scaling: jax.Array | None = None,
     pallas_tables=None,                  # PallasGasTables -> TPU kernel path
+    pallas_rte: bool | None = None,      # None: auto (on iff pallas_tables, f32)
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -289,15 +302,25 @@ def solve_sw(
     toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]  # (ncol, ngpt)
     mu0_b = jnp.broadcast_to(mu0[:, None], (ncol, lkp.n_gpt))
 
+    if pallas_rte is None:
+        pallas_rte = pallas_tables is not None and dtype == jnp.float32
     if two_stream:
         alb_dir = _bands_to_gpt(lkp, bcs.sfc_alb_direct.T)    # (ncol, ngpt)
         alb_dif = _bands_to_gpt(lkp, bcs.sfc_alb_diffuse.T)
-        up, dn, dn_dir = rte.sw_2stream(
-            tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif, bcs.inc_flux_diffuse
-        )
-        flux_up = jnp.sum(up, axis=-1)
-        flux_dn = jnp.sum(dn, axis=-1)
-        flux_dn_dir = jnp.sum(dn_dir, axis=-1)
+        if pallas_rte:
+            from ..ops.pallas_rte import sw_2stream_pallas_reduced
+
+            flux_up, flux_dn, flux_dn_dir = sw_2stream_pallas_reduced(
+                tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif,
+                bcs.inc_flux_diffuse,
+            )
+        else:
+            up, dn, dn_dir = rte.sw_2stream(
+                tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif, bcs.inc_flux_diffuse
+            )
+            flux_up = jnp.sum(up, axis=-1)
+            flux_dn = jnp.sum(dn, axis=-1)
+            flux_dn_dir = jnp.sum(dn_dir, axis=-1)
     else:
         # direct-beam only: flux_up/flux_dn stay zero, like the reference's
         # OneScalar SW path (/root/reference/src/rte/shortwave1scalar.jl:92-113)
