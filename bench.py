@@ -53,8 +53,14 @@ def main() -> None:
     else:
         tabs_lw = tabs_sw = None
 
-    f_lw = jax.jit(lambda a, b: solve_lw(lkp_lw, a, b, pallas_tables=tabs_lw)[0])
-    f_sw = jax.jit(lambda a, b: solve_sw(lkp_sw, a, b, pallas_tables=tabs_sw)[0])
+    # the synthetic pressure grid satisfies the per-layer window invariant;
+    # "force" skips the runtime fallback cond (saves operand copies)
+    f_lw = jax.jit(
+        lambda a, b: solve_lw(lkp_lw, a, b, pallas_tables=tabs_lw, pallas_windowed="force")[0]
+    )
+    f_sw = jax.jit(
+        lambda a, b: solve_sw(lkp_sw, a, b, pallas_tables=tabs_sw, pallas_windowed="force")[0]
+    )
 
     # warm-up / compile
     jax.block_until_ready(f_lw(atm, bcs_lw))

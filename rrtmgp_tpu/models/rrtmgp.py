@@ -189,6 +189,7 @@ def solve_lw(
     metric_scaling: jax.Array | None = None,
     pallas_tables=None,                  # PallasGasTables -> TPU kernel path
     pallas_rte: bool | None = None,      # None: auto (on iff pallas_tables, f32)
+    pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -202,7 +203,7 @@ def solve_lw(
     if pallas_tables is not None:
         from ..ops.gas_optics_pallas import gas_optics_lw as _pallas_lw
 
-        optics = _pallas_lw(lkp, pallas_tables, as_)
+        optics = _pallas_lw(lkp, pallas_tables, as_, windowed=pallas_windowed)
     else:
         optics = gas_optics_lw(lkp, as_)
     tau = optics.tau
@@ -267,6 +268,7 @@ def solve_sw(
     metric_scaling: jax.Array | None = None,
     pallas_tables=None,                  # PallasGasTables -> TPU kernel path
     pallas_rte: bool | None = None,      # None: auto (on iff pallas_tables, f32)
+    pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -282,7 +284,7 @@ def solve_sw(
     if pallas_tables is not None:
         from ..ops.gas_optics_pallas import gas_optics_sw as _pallas_sw
 
-        optics = _pallas_sw(lkp, pallas_tables, as_)
+        optics = _pallas_sw(lkp, pallas_tables, as_, windowed=pallas_windowed)
     else:
         optics = gas_optics_sw(lkp, as_)
     tau = optics.tau

@@ -114,12 +114,30 @@ def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
     vmr1 = jnp.where(sel, vmr1s[..., 0], vmr1s[..., 1])  # (nlay, ncol, nbnd)
     vmr2 = jnp.where(sel, vmr2s[..., 0], vmr2s[..., 1])
 
-    # eta_half rows by temperature: (nbnd, 2, ntemp) -> (ntemp, nbnd, 2)
+    # eta_half rows by temperature: (nbnd, 2, ntemp) -> (ntemp, nbnd, 2).
+    # The row lookup at jtemp/jtemp+1 runs as a one-hot matmul over the tiny
+    # temperature axis — narrow (nbnd*2-wide) row gathers at every
+    # (layer, column) were ~10 ms at 8k columns on TPU; the dense contraction
+    # is bandwidth-trivial. HIGHEST keeps the 0/1 weights exact in f32.
     eh = jnp.transpose(lkp.eta_half, (2, 0, 1))
+    ntemp = eh.shape[0]
+    eh2 = eh.reshape(ntemp, -1)                           # (ntemp, nbnd*2)
+    # row j of eh_cat = [eh[j] | eh[j+1]] (jtemp <= ntemp-2, so the wrap row
+    # of roll is never selected)
+    eh_cat = jnp.concatenate([eh2, jnp.roll(eh2, -1, axis=0)], axis=1)
+    iota_t = jnp.arange(ntemp, dtype=jnp.int32)
+    w_t = (pt.jtemp[..., None] == iota_t).astype(eh2.dtype)  # (nlay, ncol, ntemp)
+    ehg_both = jax.lax.dot_general(
+        w_t, eh_cat, (((w_t.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (nlay, ncol, 2 * nbnd * 2)
+    nb2 = eh2.shape[1]
 
     outs = []
     for itemp in (0, 1):
-        ehg = eh[pt.jtemp + itemp]                        # (nlay, ncol, nbnd, 2)
+        ehg = ehg_both[..., itemp * nb2 : (itemp + 1) * nb2].reshape(
+            *pt.jtemp.shape, nbnd, 2
+        )
         eta_half = jnp.where(sel, ehg[..., 0], ehg[..., 1])
         col_mix = vmr1 + eta_half * vmr2
         eta = jnp.where(col_mix > 0.0, vmr1 / jnp.where(col_mix > 0.0, col_mix, 1.0), 0.5)

@@ -41,7 +41,7 @@ from .gas_optics import (
 )
 
 
-@pytree_dataclass(meta_fields=("minor_groups", "minor_ntp"))
+@pytree_dataclass(meta_fields=("minor_groups", "minor_ntp", "fused_n_tables"))
 class PallasGasTables:
     """bf16 hi/lo e-major tables for the Pallas kernels.
 
@@ -49,6 +49,10 @@ class PallasGasTables:
     interval sub-tables — (ntp, neta*gpt_pad(ng)) e-major — stack along rows
     into one (n_i*ntp, ...) buffer contracted by a single MXU call with
     per-interval scalings folded into the one-hot weights.
+
+    fused_hi/lo merge every table sharing (press, temp, eta) rows — kmajor
+    and (LW) planck fraction — into one widened row buffer so the fused v2
+    kernel contracts them with a single MXU matmul per half.
     """
 
     kmajor_hi: jax.Array
@@ -59,8 +63,13 @@ class PallasGasTables:
     rayl_lo: jax.Array | None
     minor_hi: tuple   # one stacked array per group
     minor_lo: tuple
+    fused_hi: jax.Array | None
+    fused_lo: jax.Array | None
+    totplnk_hi: jax.Array | None
+    totplnk_lo: jax.Array | None
     minor_groups: tuple  # static: (side, gpt0, gpt1, (MinorInterval, ...)) per group
     minor_ntp: int       # padded temperature rows per interval
+    fused_n_tables: int  # 2 = kmajor+planck (LW), 1 = kmajor only (SW)
 
 
 def _minor_emajor(kminor, itv):
@@ -100,7 +109,9 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         rayl_hi = k2.astype(jnp.bfloat16)
         rayl_lo = (k2 - rayl_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    # group minor intervals by (side, gpt range); stack sub-tables along rows
+    # group minor intervals by g-point range (tropo sides MERGED — their
+    # scalings carry the tropo mask, so one contraction serves both sides);
+    # stack sub-tables along rows
     ntp = -(-lkp.n_temp // 16) * 16
     groups: dict = {}
     for side, intervals, kminor in (
@@ -110,17 +121,31 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         for itv in intervals:
             if itv.gas == 0:
                 continue
-            key = (side, itv.gpt0, itv.gpt1)
+            key = (itv.gpt0, itv.gpt1)
             hi, lo = _minor_emajor(kminor, itv)
             groups.setdefault(key, ([], [], []))
-            groups[key][0].append(itv)
+            groups[key][0].append((side, itv))
             groups[key][1].append(hi)
             groups[key][2].append(lo)
     group_meta, group_hi, group_lo = [], [], []
-    for (side, g0, g1), (itvs, his, los) in sorted(groups.items()):
-        group_meta.append((side, g0, g1, tuple(itvs)))
+    for (g0, g1), (entries, his, los) in sorted(groups.items()):
+        group_meta.append((g0, g1, tuple(entries)))
         group_hi.append(jnp.concatenate(his, axis=0))
         group_lo.append(jnp.concatenate(los, axis=0))
+    if lkp.planck_fraction is not None:
+        fused_hi, fused_lo = pk.merge_tables_emajor([lkp.kmajor, lkp.planck_fraction])
+        fused_n = 2
+    else:
+        fused_hi, fused_lo = pk.merge_tables_emajor([lkp.kmajor])
+        fused_n = 1
+    totplnk_hi = totplnk_lo = None
+    if lkp.planck_fraction is not None:
+        tp = jnp.asarray(lkp.totplnk, jnp.float32)  # (n_t_plnk, nbnd)
+        rpad = -(-tp.shape[0] // 8) * 8
+        cpad = -(-tp.shape[1] // 128) * 128
+        tp = jnp.pad(tp, ((0, rpad - tp.shape[0]), (0, cpad - tp.shape[1])))
+        totplnk_hi = tp.astype(jnp.bfloat16)
+        totplnk_lo = (tp - totplnk_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return PallasGasTables(
         kmajor_hi=kmajor_hi,
         kmajor_lo=kmajor_lo,
@@ -130,8 +155,13 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         rayl_lo=rayl_lo,
         minor_hi=tuple(group_hi),
         minor_lo=tuple(group_lo),
+        fused_hi=fused_hi,
+        fused_lo=fused_lo,
+        totplnk_hi=totplnk_hi,
+        totplnk_lo=totplnk_lo,
         minor_groups=tuple(group_meta),
         minor_ntp=ntp,
+        fused_n_tables=fused_n,
     )
 
 
@@ -201,12 +231,10 @@ def _prep(lkp: GasLookup, as_: AtmosphericState, block: int):
     return pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad
 
 
-def _tau_minor_pallas(
-    lkp, tables, as_, pt2d, eta2d, ncol_pad, block
-):
-    """Minor-gas tau via grouped kernel calls: one MXU contraction per
-    (side, g-point range) group with per-interval scalings folded into the
-    one-hot weights (ref gas_optics.jl:255-306)."""
+def _tau_minor_merged(lkp, tables, as_, pt2d, eta2d, ncol_pad, block):
+    """Minor-gas tau via ONE kernel call over all groups (pack layout built
+    statically from minor_groups; scalings computed in XLA, folded into the
+    pack)."""
     nlay = as_.nlay
     rows = nlay * ncol_pad
     dtype = jnp.float32
@@ -241,113 +269,246 @@ def _tau_minor_pallas(
         return jnp.where(mask, scaling, 0.0)
 
     g2b = gpt2band_np(lkp)
-    jt_flat = _flat(pt2d.jtemp, rows).astype(jnp.int32)
-    ft_flat = _flat(pt2d.ftemp, rows).astype(dtype)
-
-    segments: dict = {}
-    for gi, (side, g0, g1, itvs) in enumerate(tables.minor_groups):
-        mask = pt2d.tropo_lower if side == 0 else jnp.logical_not(pt2d.tropo_lower)
-        scal = jnp.stack(
-            [interval_scaling(itv, mask) for itv in itvs], axis=-1
-        )  # (nlay, ncol_pad, n_i)
+    cols = [
+        _flat(pt2d.jtemp, rows).astype(dtype).reshape(rows, 1),
+        _flat(pt2d.ftemp, rows).astype(dtype).reshape(rows, 1),
+    ]
+    groups_static, scal_offs, eta_offs = [], [], []
+    off = 2
+    for g0, g1, entries in tables.minor_groups:
         ibnd = int(g2b[g0])
-        out = pk.interp_minor_group(
-            tables.minor_hi[gi],
-            tables.minor_lo[gi],
-            jt_flat,
-            ft_flat,
-            _flat(scal, rows),
-            eta2d.jeta1[:, :, ibnd].reshape(rows).astype(jnp.int32),
-            eta2d.feta1[:, :, ibnd].reshape(rows).astype(dtype),
-            eta2d.jeta2[:, :, ibnd].reshape(rows).astype(jnp.int32),
-            eta2d.feta2[:, :, ibnd].reshape(rows).astype(dtype),
-            ntp=tables.minor_ntp,
-            n_eta=lkp.n_eta,
-            n_gpt=g1 - g0,
-            n_i=len(itvs),
-            block_rows=block,
-        ).reshape(nlay, ncol_pad, g1 - g0)
-        key = (g0, g1)
-        segments[key] = out if key not in segments else segments[key] + out
+        eta_offs.append(off)
+        cols += [
+            eta2d.jeta1[:, :, ibnd].astype(dtype).reshape(rows, 1),
+            eta2d.feta1[:, :, ibnd].astype(dtype).reshape(rows, 1),
+            eta2d.jeta2[:, :, ibnd].astype(dtype).reshape(rows, 1),
+            eta2d.feta2[:, :, ibnd].astype(dtype).reshape(rows, 1),
+        ]
+        off += 4
+        scal_offs.append(off)
+        for side, itv in entries:
+            mask = pt2d.tropo_lower if side == 0 else jnp.logical_not(pt2d.tropo_lower)
+            cols.append(interval_scaling(itv, mask).reshape(rows, 1))
+            off += 1
+        groups_static.append((g0, g1, len(entries)))
+    pack = jnp.concatenate(cols, axis=-1)
+    wpad = -(-pack.shape[1] // 128) * 128
+    if wpad != pack.shape[1]:
+        pack = jnp.pad(pack, ((0, 0), (0, wpad - pack.shape[1])))
 
-    # assemble: if the ranges are disjoint, concatenate with zero filler;
-    # otherwise fall back to scatter-adds
-    ranges = sorted(segments)
-    disjoint = all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
-    if disjoint:
-        pieces = []
-        cursor = 0
-        for (g0, g1) in ranges:
-            if g0 > cursor:
-                pieces.append(jnp.zeros((nlay, ncol_pad, g0 - cursor), dtype))
-            pieces.append(segments[(g0, g1)])
-            cursor = g1
-        if cursor < lkp.n_gpt:
-            pieces.append(jnp.zeros((nlay, ncol_pad, lkp.n_gpt - cursor), dtype))
-        return jnp.concatenate(pieces, axis=-1)
-    tau = jnp.zeros((nlay, ncol_pad, lkp.n_gpt), dtype)
-    for (g0, g1), seg in segments.items():
-        tau = tau.at[:, :, g0:g1].add(seg)
-    return tau
+    out = pk.interp_minor_merged(
+        tables.minor_hi, tables.minor_lo, pack,
+        ntp=tables.minor_ntp, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
+        groups=tuple(groups_static), scal_offs=tuple(scal_offs),
+        eta_offs=tuple(eta_offs), block_rows=block,
+    )
+    return out.reshape(nlay, ncol_pad, lkp.n_gpt)
+
+
+def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
+    """Assemble the single packed (rows, 128k) input array for optics_fused
+    plus the static minor-group metadata (see pallas_interp pack layout)."""
+    nlay = as_.nlay
+    rows = nlay * ncol_pad
+    dtype = jnp.float32
+    vmr = as_.vmr
+    col_dry = _pad_cols(as_.col_dry, ncol_pad).astype(dtype)
+    p_lay = _pad_cols(as_.p_lay, ncol_pad).astype(dtype)
+    t_lay = _pad_cols(as_.t_lay, ncol_pad).astype(dtype)
+
+    vmr_h2o_raw = get_vmr(vmr, lkp.idx_h2o)
+    vmr_h2o = (
+        _pad_cols(vmr_h2o_raw, ncol_pad) if vmr_h2o_raw.ndim == 2 else vmr_h2o_raw
+    ).astype(dtype)
+    dry_fact = 1.0 / (1.0 + vmr_h2o)
+    density_fact = 0.01 * p_lay / t_lay
+
+    def interval_scaling(itv, mask):
+        vmr_m = get_vmr(vmr, itv.gas)
+        if vmr_m.ndim == 2:
+            vmr_m = _pad_cols(vmr_m, ncol_pad)
+        scaling = vmr_m.astype(dtype) * col_dry
+        if itv.scales_with_density:
+            scaling = scaling * density_fact
+            if itv.scaling_gas > 0:
+                sg = get_vmr(vmr, itv.scaling_gas)
+                if sg.ndim == 2:
+                    sg = _pad_cols(sg, ncol_pad)
+                sg = sg.astype(dtype)
+                if itv.scale_by_complement:
+                    scaling = scaling * (1.0 - sg * dry_fact)
+                else:
+                    scaling = scaling * (sg * dry_fact)
+        return jnp.where(mask, scaling, 0.0)
+
+    c1 = lambda x: x.astype(dtype).reshape(rows, 1)
+    cb = lambda x: x.astype(dtype).reshape(rows, -1)
+    if with_ray:
+        q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
+        ray_cm = (vmr_h2o + 1.0) * col_dry
+    else:
+        q_ray = jnp.zeros_like(pt2d.jtemp)
+        ray_cm = jnp.zeros_like(col_dry)
+    cols = [
+        c1(q_major), c1(pt2d.jtemp), c1(pt2d.fpress), c1(pt2d.ftemp),
+        c1(col_dry), c1(q_ray), c1(ray_cm),
+        cb(eta2d.jeta1.astype(dtype) + eta2d.feta1.astype(dtype)),
+        cb(eta2d.col_mix1),
+        cb(eta2d.jeta2.astype(dtype) + eta2d.feta2.astype(dtype)),
+        cb(eta2d.col_mix2),
+    ]
+    off = 7 + 4 * lkp.n_bnd
+    g2b = gpt2band_np(lkp)
+    groups_static, scal_offs = [], []
+    for g0, g1, entries in tables.minor_groups:
+        scal_offs.append(off)
+        for side, itv in entries:
+            mask = pt2d.tropo_lower if side == 0 else jnp.logical_not(pt2d.tropo_lower)
+            cols.append(interval_scaling(itv, mask).reshape(rows, 1))
+            off += 1
+        groups_static.append((g0, g1, len(entries), int(g2b[g0])))
+    pack = jnp.concatenate(cols, axis=-1)
+    wpad = -(-pack.shape[1] // 128) * 128
+    if wpad != pack.shape[1]:
+        pack = jnp.pad(pack, ((0, 0), (0, wpad - pack.shape[1])))
+    return pack, tuple(groups_static), tuple(scal_offs)
+
+
+def _optics_fused_call(
+    lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray,
+    windowed="auto",
+):
+    """optics_fused when the window invariant holds; composed v1 path else.
+
+    windowed: "auto" = runtime lax.cond on the per-layer window invariant
+    (costs operand copies ~5 ms at DYAMOND widths); "force" = assume it holds
+    (callers may verify once, eagerly, on the first step — the invariant
+    depends only on the pressure grid); "off" = always the full-width path.
+    """
+    nlay = as_.nlay
+    rows = nlay * ncol_pad
+    f32 = lambda x: x.astype(jnp.float32)
+    pack, groups_static, scal_offs = _build_pack(
+        lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray
+    )
+    window = min(96, tables.fused_hi.shape[0])
+    q_base, ok = pk.window_bases(q_major, lkp.n_temp, tables.fused_hi.shape[0], window)
+    n_tables = tables.fused_n_tables
+
+    def fused():
+        return pk.optics_fused(
+            tables.fused_hi, tables.fused_lo, tables.minor_hi, tables.minor_lo,
+            tables.rayl_hi, tables.rayl_lo, q_base, pack,
+            n_temp=lkp.n_temp, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
+            bnd_lims_gpt=lkp.bnd_lims_gpt, n_tables=n_tables, window=window,
+            minor_groups=groups_static, scal_offs=scal_offs,
+            minor_ntp=tables.minor_ntp, with_rayleigh=with_ray,
+            block_rows=min(block, 128),
+        )
+
+    def fallback():
+        cm = (f32(eta2d.col_mix1), f32(eta2d.col_mix2))
+        tau_major = _interp_table(
+            tables.kmajor_hi, tables.kmajor_lo, lkp, pt2d, eta2d, q_major,
+            f32(pt2d.fpress), cm, windowed=False, block=block,
+        )
+        tau_minor = _tau_minor_merged(lkp, tables, as_, pt2d, eta2d, ncol_pad, block)
+        col_dry = _pad_cols(as_.col_dry, ncol_pad).astype(jnp.float32)
+        tau = tau_major * col_dry[..., None] + tau_minor
+        if with_ray:
+            vmr_h2o_raw = get_vmr(as_.vmr, lkp.idx_h2o)
+            vmr_h2o = (
+                _pad_cols(vmr_h2o_raw, ncol_pad) if vmr_h2o_raw.ndim == 2 else vmr_h2o_raw
+            ).astype(jnp.float32)
+            ray_cm = ((vmr_h2o + 1.0) * col_dry)[..., None] * jnp.ones(
+                (1, 1, lkp.n_bnd), jnp.float32
+            )
+            q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
+            tau_ray = _interp_table(
+                tables.rayl_hi, tables.rayl_lo, lkp, pt2d, eta2d, q_ray,
+                jnp.zeros_like(f32(pt2d.fpress)), (ray_cm, ray_cm),
+                windowed=False, block=block,
+            )
+            tau = jnp.maximum(tau + tau_ray, 0.0)
+            ray_c = jnp.maximum(tau_ray, 0.0)
+            second = jnp.where(tau > 0.0, ray_c / jnp.where(tau > 0.0, tau, 1.0), 0.0)
+        else:
+            tau = jnp.maximum(tau, 0.0)
+            ones = jnp.ones_like(cm[0])
+            second = _interp_table(
+                tables.planck_hi, tables.planck_lo, lkp, pt2d, eta2d, q_major,
+                f32(pt2d.fpress), (ones, ones), windowed=False, block=block,
+            )
+        return (tau.reshape(rows, lkp.n_gpt), second.reshape(rows, lkp.n_gpt))
+
+    if windowed == "force":
+        tau, second = fused()
+    elif windowed == "off":
+        tau, second = fallback()
+    else:
+        tau, second = jax.lax.cond(ok, fused, fallback)
+    shape3 = (nlay, ncol_pad, lkp.n_gpt)
+    return tau.reshape(shape3), second.reshape(shape3)
+
+
+def _planck_sources_pallas(lkp, tables, as_, pfrac):
+    """compute_planck_sources with the band interpolation in a Pallas kernel
+    (the XLA one-hot matmul materializes a (rows, n_t_plnk) weight tensor —
+    ~400 MB of HBM traffic at DYAMOND widths; in-kernel it never leaves
+    VMEM). Source combination mirrors ref Optics.jl:228-248."""
+    nlay, ncol = as_.p_lay.shape
+    dtype = as_.p_lay.dtype
+    g2b = jnp.asarray(gpt2band_np(lkp))
+    kw = dict(
+        n_t=int(lkp.totplnk.shape[0]),
+        t_min=float(lkp.t_planck_min),
+        t_delta=float(lkp.t_planck_delta),
+    )
+
+    def band_gpt(t_flat):
+        b = pk.planck_band_pallas(t_flat, tables.totplnk_hi, tables.totplnk_lo, **kw)
+        return jnp.take(b, g2b, axis=-1).astype(dtype)
+
+    planck_lay = band_gpt(as_.t_lay.reshape(-1)).reshape(nlay, ncol, lkp.n_gpt)
+    planck_lev = band_gpt(as_.t_lev.reshape(-1)).reshape(nlay + 1, ncol, lkp.n_gpt)
+    planck_sfc = band_gpt(as_.t_sfc)
+
+    lay_source = planck_lay * pfrac
+    lev0 = planck_lev[0] * pfrac[0]
+    interior = planck_lev[1:nlay] * jnp.sqrt(pfrac[:-1] * pfrac[1:])
+    top = planck_lev[nlay] * pfrac[-1]
+    lev_source = jnp.concatenate([lev0[None], interior, top[None]], axis=0)
+    sfc_source = planck_sfc * pfrac[0]
+    return LWSources(lay_source=lay_source, lev_source=lev_source, sfc_source=sfc_source)
 
 
 def gas_optics_lw(
-    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *, block: int = 256
+    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
+    block: int = 256, windowed: str = "auto",
 ) -> LWOptics:
     """LW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_lw."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
 
-    cm = (f32(eta2d.col_mix1), f32(eta2d.col_mix2))
-    tau_major = _interp_table(
-        tables.kmajor_hi, tables.kmajor_lo, lkp, pt2d, eta2d, q_major,
-        f32(pt2d.fpress), cm, windowed=True, block=block,
+    tau, pfrac = _optics_fused_call(
+        lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=False,
+        windowed=windowed,
     )
-    ones = jnp.ones_like(cm[0])
-    pfrac = _interp_table(
-        tables.planck_hi, tables.planck_lo, lkp, pt2d, eta2d, q_major,
-        f32(pt2d.fpress), (ones, ones), windowed=True, block=block,
-    )
-    tau_minor = _tau_minor_pallas(lkp, tables, as_, pt2d, eta2d, ncol_pad, block)
-
-    col_dry = _pad_cols(as_.col_dry, ncol_pad).astype(jnp.float32)
-    tau = jnp.maximum(tau_major * col_dry[..., None] + tau_minor, 0.0)[:, :ncol, :]
+    tau = tau[:, :ncol, :]
     pfrac = pfrac[:, :ncol, :]
-    sources = compute_planck_sources(lkp, as_, pfrac.astype(as_.p_lay.dtype))
+    sources = _planck_sources_pallas(lkp, tables, as_, pfrac.astype(as_.p_lay.dtype))
     return LWOptics(tau=tau.astype(as_.p_lay.dtype), sources=sources)
 
 
 def gas_optics_sw(
-    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *, block: int = 256
+    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
+    block: int = 256, windowed: str = "auto",
 ) -> SWOptics:
     """SW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_sw."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
-    rows = as_.nlay * ncol_pad
 
-    cm = (f32(eta2d.col_mix1), f32(eta2d.col_mix2))
-    tau_major = _interp_table(
-        tables.kmajor_hi, tables.kmajor_lo, lkp, pt2d, eta2d, q_major,
-        f32(pt2d.fpress), cm, windowed=True, block=block,
+    tau, ssa = _optics_fused_call(
+        lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=True,
+        windowed=windowed,
     )
-    tau_minor = _tau_minor_pallas(lkp, tables, as_, pt2d, eta2d, ncol_pad, block)
-
-    # rayleigh: rows (tropo, temp), fp = 0, cm = (vmr_h2o + 1) * col_dry
-    col_dry = _pad_cols(as_.col_dry, ncol_pad).astype(jnp.float32)
-    vmr_h2o_raw = get_vmr(as_.vmr, lkp.idx_h2o)
-    vmr_h2o = (
-        _pad_cols(vmr_h2o_raw, ncol_pad) if vmr_h2o_raw.ndim == 2 else vmr_h2o_raw
-    ).astype(jnp.float32)
-    ray_cm = ((vmr_h2o + 1.0) * col_dry)[..., None] * jnp.ones((1, 1, lkp.n_bnd), jnp.float32)
-    q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
-    tau_ray = _interp_table(
-        tables.rayl_hi, tables.rayl_lo, lkp, pt2d, eta2d, q_ray,
-        jnp.zeros_like(f32(pt2d.fpress)), (ray_cm, ray_cm),
-        windowed=False, block=block,
-    )
-    # note: _interp_table uses n_temp for the +n_temp offset of the unused
-    # second press row; with fp=0 that row has zero weight.
-
-    tau = jnp.maximum(tau_major * col_dry[..., None] + tau_minor + tau_ray, 0.0)
-    tau_ray_c = jnp.maximum(tau_ray, 0.0)
-    ssa = jnp.where(tau > 0.0, tau_ray_c / jnp.where(tau > 0.0, tau, 1.0), 0.0)
     dtype = as_.p_lay.dtype
     return SWOptics(tau=tau[:, :ncol, :].astype(dtype), ssa=ssa[:, :ncol, :].astype(dtype))
