@@ -200,13 +200,26 @@ def solve_lw(
     dtype = as_.p_lay.dtype
     Ds, wts = angular_discretization(n_gauss_angles)
 
+    if pallas_rte is None:
+        pallas_rte = pallas_tables is not None and dtype == jnp.float32
+    raw = None
     if pallas_tables is not None:
-        from ..ops.gas_optics_pallas import gas_optics_lw as _pallas_lw
+        if pallas_rte and not two_stream:
+            # source-fused sweep: Planck sources built in-kernel from banded
+            # emission values — never materialized at (nlay, ncol, ngpt)
+            from ..ops.gas_optics_pallas import gas_optics_lw_raw as _pallas_lw_raw
 
-        optics = _pallas_lw(lkp, pallas_tables, as_, windowed=pallas_windowed)
+            raw = _pallas_lw_raw(lkp, pallas_tables, as_, windowed=pallas_windowed)
+            optics = None
+            tau = raw.tau
+        else:
+            from ..ops.gas_optics_pallas import gas_optics_lw as _pallas_lw
+
+            optics = _pallas_lw(lkp, pallas_tables, as_, windowed=pallas_windowed)
+            tau = optics.tau
     else:
         optics = gas_optics_lw(lkp, as_)
-    tau = optics.tau
+        tau = optics.tau
     ssa = jnp.zeros_like(tau) if two_stream else None
     g_asym = jnp.zeros_like(tau) if two_stream else None
 
@@ -219,10 +232,27 @@ def solve_lw(
             lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=False, collect_aod=False
         )
 
-    sfc_emis = _bands_to_gpt(lkp, bcs.sfc_emis.T)  # (ncol, ngpt)
     inc = bcs.inc_flux
-    if pallas_rte is None:
-        pallas_rte = pallas_tables is not None and dtype == jnp.float32
+    if raw is not None:
+        from ..ops.pallas_rte import lw_noscat_banded_reduced
+
+        flux_up, flux_dn = lw_noscat_banded_reduced(
+            tau, raw.pfrac, raw.plk_lay, raw.plk_lev, raw.plk_sfc,
+            bcs.sfc_emis.T.astype(jnp.float32), float(Ds[0]), float(wts[0]),
+            lkp.bnd_lims_gpt, inc,
+        )
+        flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
+        flux = _apply_metric_scaling(flux, metric_scaling)
+        diag = SolveDiagnostics()
+        if cld_mask is not None:
+            from ..ops.cloud_optics import cloud_cover_from_mask
+
+            diag = diag._replace(
+                cld_cover=cloud_cover_from_mask(cld_mask).astype(dtype)
+            )
+        return flux, diag
+
+    sfc_emis = _bands_to_gpt(lkp, bcs.sfc_emis.T)  # (ncol, ngpt)
     if two_stream:
         up, dn = rte.lw_2stream(
             tau, ssa, g_asym, optics.sources.lev_source,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 
@@ -480,6 +481,48 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac):
     lev_source = jnp.concatenate([lev0[None], interior, top[None]], axis=0)
     sfc_source = planck_sfc * pfrac[0]
     return LWSources(lay_source=lay_source, lev_source=lev_source, sfc_source=sfc_source)
+
+
+class RawLWOptics(NamedTuple):
+    """LW optics with Planck sources left in banded form for the fused sweep
+    (pallas_rte.lw_noscat_banded_reduced): pfrac per g-point plus per-BAND
+    Planck emission values — the (nlay, ncol, ngpt) source tensors are never
+    materialized (ref Optics.jl:228-248 builds them per column in registers;
+    this is the TPU analogue)."""
+
+    tau: jax.Array       # (nlay, ncol, ngpt) f32
+    pfrac: jax.Array     # (nlay, ncol, ngpt) f32
+    plk_lay: jax.Array   # (nlay, ncol, nbp) f32, band Planck at t_lay
+    plk_lev: jax.Array   # (nlev, ncol, nbp) f32, band Planck at t_lev
+    plk_sfc: jax.Array   # (ncol, nbp) f32, band Planck at t_sfc
+
+
+def gas_optics_lw_raw(
+    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
+    block: int = 256, windowed: str = "auto",
+) -> RawLWOptics:
+    """LW gas optics for the source-fused sweep: tau + pfrac + band Plancks."""
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    tau, pfrac = _optics_fused_call(
+        lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=False,
+        windowed=windowed,
+    )
+    nlay = as_.nlay
+    kw = dict(
+        n_t=int(lkp.totplnk.shape[0]),
+        t_min=float(lkp.t_planck_min),
+        t_delta=float(lkp.t_planck_delta),
+    )
+    bp = lambda t: pk.planck_band_pallas(
+        t.reshape(-1), tables.totplnk_hi, tables.totplnk_lo, **kw
+    )
+    return RawLWOptics(
+        tau=tau[:, :ncol, :],
+        pfrac=pfrac[:, :ncol, :],
+        plk_lay=bp(as_.t_lay).reshape(nlay, ncol, -1),
+        plk_lev=bp(as_.t_lev).reshape(nlay + 1, ncol, -1),
+        plk_sfc=bp(as_.t_sfc),
+    )
 
 
 def gas_optics_lw(

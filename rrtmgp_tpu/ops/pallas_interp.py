@@ -319,17 +319,17 @@ def split_table_emajor(table) -> tuple[jax.Array, jax.Array]:
 
 
 def _expand_bands(v, bnd_lims_gpt, npad):
-    """(B, nbnd) -> (B, npad): band value broadcast over its g-points.
+    """(..., nbnd) -> (..., npad): band value broadcast over its g-points.
 
     Static lane-slice broadcasts; exact (no matmul rounding)."""
-    b = v.shape[0]
+    lead = v.shape[:-1]
     pieces = [
-        jnp.broadcast_to(v[:, i : i + 1], (b, g1 - g0))
+        jnp.broadcast_to(v[..., i : i + 1], (*lead, g1 - g0))
         for i, (g0, g1) in enumerate(bnd_lims_gpt)
     ]
     total = bnd_lims_gpt[-1][1]
     if npad > total:
-        pieces.append(jnp.zeros((b, npad - total), v.dtype))
+        pieces.append(jnp.zeros((*lead, npad - total), v.dtype))
     return jnp.concatenate(pieces, axis=-1)
 
 

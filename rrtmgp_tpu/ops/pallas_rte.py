@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_interp import gpt_pad
+from .pallas_interp import _expand_bands, gpt_pad
 
 
 def _interpret() -> bool:
@@ -480,6 +480,147 @@ def lw_noscat_pallas_reduced(
         ),
         scratch_shapes=[pltpu.VMEM((nlev, block_cols), jnp.float32) for _ in range(2)],
     )(padg(tau), padg(lay_source), padg(lev_source), padg(sfc_source), padg(sfc_emis), padg(inc))
+    return tuple(o[:ncol].T for o in out)
+
+
+def _lw_noscat_banded_kernel(
+    tau_ref, pfrac_ref,               # (nlay, B, G)
+    plk_lay_ref,                      # (nlay, B, NBP)
+    plk_lev_ref,                      # (nlev, B, NBP)
+    plk_sfc_ref, emis_ref,            # (B, NBP)
+    inc_ref,                          # (B, G)
+    up_ref, dn_ref,                   # (B, nlev) outputs: g-point-summed fluxes
+    lay_src, lev_src,                 # scratch (nlay, B, G), (nlev, B, G)
+    up_acc, dn_acc,                   # scratch (nlev, B)
+    *, nlay: int, ds: float, w_mu: float, bnd_lims_gpt: tuple, gp: int,
+):
+    """LW no-scat sweep with Planck-source construction fused in.
+
+    The Planck sources (lay/lev/sfc, ref Optics.jl:228-248) are products of a
+    per-BAND emission value and the per-g-point Planck fraction; materializing
+    them in HBM costs three (nlay, ncol, ngpt) tensors of traffic. Here only
+    pfrac (one such tensor) and the tiny band arrays enter; sources are built
+    ONCE, vectorized over the whole vertical extent, into VMEM scratch (band
+    expansion = static lane broadcasts; level value = geometric mean
+    sqrt(pfrac_below * pfrac_above)), and the recurrences read scratch.
+    """
+    eps = float(jnp.finfo(jnp.float32).eps)
+    tau_thresh = 100.0 * eps
+    i2f = float(jnp.pi) * w_mu
+    f2i = 1.0 / i2f
+    expand = lambda v: _expand_bands(v, bnd_lims_gpt, gp)
+
+    pf = pfrac_ref[:]
+    lay_src[:] = expand(plk_lay_ref[:]) * pf
+    lev_src[:] = expand(plk_lev_ref[:])
+    lev_src[0] = lev_src[0] * pf[0]
+    lev_src[1:nlay] = lev_src[1:nlay] * jnp.sqrt(pf[: nlay - 1] * pf[1:nlay])
+    lev_src[nlay] = lev_src[nlay] * pf[nlay - 1]
+
+    def srcs(ilay, lev_val):
+        tau_loc = tau_ref[ilay] * ds
+        trans = jnp.exp(-tau_loc)
+        tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
+        fact = jnp.where(
+            tau_loc > tau_thresh,
+            (1.0 - trans) / tau_safe - trans,
+            tau_loc * (0.5 + tau_loc * (-1.0 / 3.0 + tau_loc * 0.125)),
+        )
+        return trans, (1.0 - trans) * lev_val + 2.0 * fact * (lay_src[ilay] - lev_val)
+
+    # downward, TOA -> surface
+    i_dn_top = inc_ref[:] * f2i
+    dn_acc[nlay] = jnp.sum(i_dn_top, axis=-1) * i2f
+
+    def down_step(i, carry):
+        ilay = nlay - 1 - i
+        trans, s = srcs(ilay, lev_src[ilay])
+        i_dn = trans * carry + s
+        dn_acc[ilay] = jnp.sum(i_dn, axis=-1) * i2f
+        return i_dn
+
+    i_dn_sfc = jax.lax.fori_loop(0, nlay, down_step, i_dn_top)
+
+    emis = expand(emis_ref[:])
+    sfc_src = expand(plk_sfc_ref[:]) * pf[0]
+    i_up = i_dn_sfc * (1.0 - emis) + emis * sfc_src
+    up_acc[0] = jnp.sum(i_up, axis=-1) * i2f
+
+    def up_step(ilay, carry):
+        trans, s = srcs(ilay, lev_src[ilay + 1])
+        i_up_n = trans * carry + s
+        up_acc[ilay + 1] = jnp.sum(i_up_n, axis=-1) * i2f
+        return i_up_n
+
+    jax.lax.fori_loop(0, nlay, up_step, i_up)
+    up_ref[:] = up_acc[:].T
+    dn_ref[:] = dn_acc[:].T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ds", "w_mu", "bnd_lims_gpt", "block_cols")
+)
+def lw_noscat_banded_reduced(
+    tau: jax.Array,         # (nlay, ncol, ngpt)
+    pfrac: jax.Array,       # (nlay, ncol, ngpt)
+    plk_lay: jax.Array,     # (nlay, ncol, nbp) band Planck at t_lay
+    plk_lev: jax.Array,     # (nlev, ncol, nbp) band Planck at t_lev
+    plk_sfc: jax.Array,     # (ncol, nbp) band Planck at t_sfc
+    sfc_emis: jax.Array,    # (ncol, nbnd) per-band emissivity
+    ds: float,
+    w_mu: float,
+    bnd_lims_gpt: tuple,
+    inc_flux: jax.Array | None = None,
+    block_cols: int = 16,
+):
+    """Fused LW no-scat sweep with in-kernel Planck sources + spectral sum;
+    returns (flux_up, flux_dn), each (nlev, ncol)."""
+    nlay, ncol, ngpt = tau.shape
+    nlev = nlay + 1
+    gp = gpt_pad(ngpt)
+    nbp = gpt_pad(plk_lay.shape[-1])
+    cp = -ncol % block_cols
+
+    def padto(x, lanes):
+        w = [(0, 0)] * x.ndim
+        w[-1] = (0, lanes - x.shape[-1])
+        w[-2] = (0, cp)
+        return jnp.pad(x.astype(jnp.float32), w)
+
+    inc = (
+        jnp.zeros((ncol, ngpt), jnp.float32) if inc_flux is None else inc_flux
+    )
+    ncp = ncol + cp
+    lay_spec = pl.BlockSpec((nlay, block_cols, gp), lambda c: (0, c, 0), memory_space=pltpu.VMEM)
+    layb_spec = pl.BlockSpec((nlay, block_cols, nbp), lambda c: (0, c, 0), memory_space=pltpu.VMEM)
+    levb_spec = pl.BlockSpec((nlev, block_cols, nbp), lambda c: (0, c, 0), memory_space=pltpu.VMEM)
+    colb_spec = pl.BlockSpec((block_cols, nbp), lambda c: (c, 0), memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((block_cols, gp), lambda c: (c, 0), memory_space=pltpu.VMEM)
+    red_spec = pl.BlockSpec((block_cols, nlev), lambda c: (c, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _lw_noscat_banded_kernel,
+            nlay=nlay, ds=ds, w_mu=w_mu, bnd_lims_gpt=bnd_lims_gpt, gp=gp,
+        ),
+        interpret=_interpret(),
+        grid=(ncp // block_cols,),
+        in_specs=[lay_spec, lay_spec, layb_spec, levb_spec, colb_spec, colb_spec, col_spec],
+        out_specs=(red_spec, red_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((ncp, nlev), jnp.float32) for _ in range(2)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),
+            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+        ],
+    )(
+        padto(tau, gp), padto(pfrac, gp),
+        padto(plk_lay, nbp), padto(plk_lev, nbp), padto(plk_sfc, nbp),
+        padto(sfc_emis, nbp), padto(inc, gp),
+    )
     return tuple(o[:ncol].T for o in out)
 
 

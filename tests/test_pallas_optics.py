@@ -41,6 +41,28 @@ def test_fused_optics_matches_xla(longwave):
         assert rel.max() < 5e-5, (name, rel.max())
 
 
+def test_solve_lw_source_fused_sweep_matches_xla():
+    """solve_lw with pallas_tables + pallas_rte runs the banded source-fused
+    sweep (Planck sources built in-kernel); fluxes must match the XLA path."""
+    import jax
+
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.states import LwBCs
+
+    lkp = synthetic_gas_lookup(longwave=True, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=np.float32)
+    tabs = gp.build_pallas_tables(lkp)
+    bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, NCOL), 0.98, jnp.float32))
+    ref, _ = solve_lw(lkp, atm, bcs, pallas_rte=False)
+    out, _ = solve_lw(lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True)
+    assert out.flux_up.shape == ref.flux_up.shape
+    for name in ("flux_up", "flux_dn", "flux_net"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 5e-5, (name, np.abs(a - b).max() / scale)
+
+
 def test_fused_optics_fallback_on_wide_window():
     """When a layer's pressure rows span more than the window, the windowed
     kernel must fall back to the full-width path and still be correct."""
