@@ -319,7 +319,10 @@ def solve_sw(
         optics = gas_optics_sw(lkp, as_)
     tau = optics.tau
     ssa = optics.ssa if two_stream else None
-    g_asym = jnp.zeros_like(tau) if two_stream else None
+    # Clear-sky gas optics has zero asymmetry (Rayleigh g=0); keep it symbolic
+    # (None) so the Pallas sweep skips a full (nlay, ncol, ngpt) HBM tensor.
+    need_g = two_stream and (lkp_cld is not None or lkp_aero is not None)
+    g_asym = jnp.zeros_like(tau) if need_g else None
 
     aod_ext = aod_sca = None
     if lkp_cld is not None:
@@ -347,8 +350,9 @@ def solve_sw(
                 bcs.inc_flux_diffuse,
             )
         else:
+            g_arr = jnp.zeros_like(tau) if g_asym is None else g_asym
             up, dn, dn_dir = rte.sw_2stream(
-                tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif, bcs.inc_flux_diffuse
+                tau, ssa, g_arr, mu0_b, toa_gpt, alb_dir, alb_dif, bcs.inc_flux_diffuse
             )
             flux_up = jnp.sum(up, axis=-1)
             flux_dn = jnp.sum(dn, axis=-1)

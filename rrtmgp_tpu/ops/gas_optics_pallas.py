@@ -64,6 +64,8 @@ class PallasGasTables:
     rayl_lo: jax.Array | None
     minor_hi: tuple   # one stacked array per group
     minor_lo: tuple
+    minor_stack: tuple            # per group [hi; lo; hi] rows (stacked matmul)
+    ray_stack: jax.Array | None   # [hi; lo] rows
     fused_hi: jax.Array | None
     fused_lo: jax.Array | None
     totplnk_hi: jax.Array | None
@@ -156,6 +158,12 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         rayl_lo=rayl_lo,
         minor_hi=tuple(group_hi),
         minor_lo=tuple(group_lo),
+        minor_stack=tuple(
+            pk.stack_table_rows(hi, lo) for hi, lo in zip(group_hi, group_lo)
+        ),
+        ray_stack=(
+            None if rayl_hi is None else jnp.concatenate([rayl_hi, rayl_lo], axis=0)
+        ),
         fused_hi=fused_hi,
         fused_lo=fused_lo,
         totplnk_hi=totplnk_hi,
@@ -211,10 +219,17 @@ def _interp_table(
             lambda: pk.interp_pt_eta_windowed(
                 tables_hi, tables_lo, q_base, *args, block_cols=block, **kw
             ),
-            lambda: pk.interp_pt_eta(tables_hi, tables_lo, *args, block_rows=block, **kw),
+            # block capped at 128: the full-table kernel keeps both bf16 table
+            # halves (~8 MB) resident, so a 256-row block's W/r intermediates
+            # blow the 16 MB scoped-VMEM limit (seen at ncol=512, SW table).
+            lambda: pk.interp_pt_eta(
+                tables_hi, tables_lo, *args, block_rows=min(block, 128), **kw
+            ),
         )
     else:
-        out = pk.interp_pt_eta(tables_hi, tables_lo, *args, block_rows=block, **kw)
+        out = pk.interp_pt_eta(
+            tables_hi, tables_lo, *args, block_rows=min(block, 128), **kw
+        )
     return out.reshape(nlay, ncol_pad, lkp.n_gpt)
 
 
@@ -270,9 +285,10 @@ def _tau_minor_merged(lkp, tables, as_, pt2d, eta2d, ncol_pad, block):
         return jnp.where(mask, scaling, 0.0)
 
     g2b = gpt2band_np(lkp)
+    # transposed build + one dense transpose (see _build_pack)
     cols = [
-        _flat(pt2d.jtemp, rows).astype(dtype).reshape(rows, 1),
-        _flat(pt2d.ftemp, rows).astype(dtype).reshape(rows, 1),
+        _flat(pt2d.jtemp, rows).astype(dtype).reshape(1, rows),
+        _flat(pt2d.ftemp, rows).astype(dtype).reshape(1, rows),
     ]
     groups_static, scal_offs, eta_offs = [], [], []
     off = 2
@@ -280,22 +296,23 @@ def _tau_minor_merged(lkp, tables, as_, pt2d, eta2d, ncol_pad, block):
         ibnd = int(g2b[g0])
         eta_offs.append(off)
         cols += [
-            eta2d.jeta1[:, :, ibnd].astype(dtype).reshape(rows, 1),
-            eta2d.feta1[:, :, ibnd].astype(dtype).reshape(rows, 1),
-            eta2d.jeta2[:, :, ibnd].astype(dtype).reshape(rows, 1),
-            eta2d.feta2[:, :, ibnd].astype(dtype).reshape(rows, 1),
+            eta2d.jeta1[:, :, ibnd].astype(dtype).reshape(1, rows),
+            eta2d.feta1[:, :, ibnd].astype(dtype).reshape(1, rows),
+            eta2d.jeta2[:, :, ibnd].astype(dtype).reshape(1, rows),
+            eta2d.feta2[:, :, ibnd].astype(dtype).reshape(1, rows),
         ]
         off += 4
         scal_offs.append(off)
         for side, itv in entries:
             mask = pt2d.tropo_lower if side == 0 else jnp.logical_not(pt2d.tropo_lower)
-            cols.append(interval_scaling(itv, mask).reshape(rows, 1))
+            cols.append(interval_scaling(itv, mask).reshape(1, rows))
             off += 1
         groups_static.append((g0, g1, len(entries)))
-    pack = jnp.concatenate(cols, axis=-1)
-    wpad = -(-pack.shape[1] // 128) * 128
-    if wpad != pack.shape[1]:
-        pack = jnp.pad(pack, ((0, 0), (0, wpad - pack.shape[1])))
+    pack_t = jnp.concatenate(cols, axis=0)
+    wpad = -(-pack_t.shape[0] // 128) * 128
+    if wpad != pack_t.shape[0]:
+        pack_t = jnp.pad(pack_t, ((0, wpad - pack_t.shape[0]), (0, 0)))
+    pack = pack_t.T
 
     out = pk.interp_minor_merged(
         tables.minor_hi, tables.minor_lo, pack,
@@ -342,8 +359,19 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
                     scaling = scaling * (sg * dry_fact)
         return jnp.where(mask, scaling, 0.0)
 
-    c1 = lambda x: x.astype(dtype).reshape(rows, 1)
-    cb = lambda x: x.astype(dtype).reshape(rows, -1)
+    # Build the pack TRANSPOSED — (n_fields, rows) — then one XLA transpose.
+    # A minor-axis concat of ~20 width-1 pieces costs ~15 ms at DYAMOND widths
+    # (each width-1 column is a masked lane store); concatenating contiguous
+    # (1, rows) sublane rows + one dense (128, rows)->(rows, 128) transpose is
+    # bandwidth-bound (~1 ms).
+    c1 = lambda x: x.astype(dtype).reshape(1, rows)
+    # The barrier materializes each transposed band block before the pack
+    # concat: fusing the strided (nlay, ncol, nbnd) -> (nbnd, rows) transpose
+    # INTO the 252 MB concat costs ~6 ms (16-lane granularity writes); two
+    # contiguous passes are bandwidth-bound (~1 ms).
+    cb = lambda x: jax.lax.optimization_barrier(
+        jnp.moveaxis(x.astype(dtype), -1, 0).reshape(-1, rows)
+    )
     if with_ray:
         q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
         ray_cm = (vmr_h2o + 1.0) * col_dry
@@ -365,14 +393,14 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
         scal_offs.append(off)
         for side, itv in entries:
             mask = pt2d.tropo_lower if side == 0 else jnp.logical_not(pt2d.tropo_lower)
-            cols.append(interval_scaling(itv, mask).reshape(rows, 1))
+            cols.append(interval_scaling(itv, mask).reshape(1, rows))
             off += 1
         groups_static.append((g0, g1, len(entries), int(g2b[g0])))
-    pack = jnp.concatenate(cols, axis=-1)
-    wpad = -(-pack.shape[1] // 128) * 128
-    if wpad != pack.shape[1]:
-        pack = jnp.pad(pack, ((0, 0), (0, wpad - pack.shape[1])))
-    return pack, tuple(groups_static), tuple(scal_offs)
+    pack_t = jnp.concatenate(cols, axis=0)
+    wpad = -(-pack_t.shape[0] // 128) * 128
+    if wpad != pack_t.shape[0]:
+        pack_t = jnp.pad(pack_t, ((0, wpad - pack_t.shape[0]), (0, 0)))
+    return pack_t.T, tuple(groups_static), tuple(scal_offs)
 
 
 def _optics_fused_call(
@@ -398,8 +426,8 @@ def _optics_fused_call(
 
     def fused():
         return pk.optics_fused(
-            tables.fused_hi, tables.fused_lo, tables.minor_hi, tables.minor_lo,
-            tables.rayl_hi, tables.rayl_lo, q_base, pack,
+            tables.fused_hi, tables.fused_lo, tables.minor_stack,
+            tables.ray_stack, q_base, pack,
             n_temp=lkp.n_temp, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             bnd_lims_gpt=lkp.bnd_lims_gpt, n_tables=n_tables, window=window,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -466,13 +494,15 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac):
         t_delta=float(lkp.t_planck_delta),
     )
 
-    def band_gpt(t_flat):
-        b = pk.planck_band_pallas(t_flat, tables.totplnk_hi, tables.totplnk_lo, **kw)
-        return jnp.take(b, g2b, axis=-1).astype(dtype)
-
-    planck_lay = band_gpt(as_.t_lay.reshape(-1)).reshape(nlay, ncol, lkp.n_gpt)
-    planck_lev = band_gpt(as_.t_lev.reshape(-1)).reshape(nlay + 1, ncol, lkp.n_gpt)
-    planck_sfc = band_gpt(as_.t_sfc)
+    t_all = jnp.concatenate(
+        [as_.t_lay.reshape(-1), as_.t_lev.reshape(-1), as_.t_sfc.reshape(-1)]
+    )
+    plk = pk.planck_band_pallas(t_all, tables.totplnk_hi, tables.totplnk_lo, **kw)
+    plk = jnp.take(plk, g2b, axis=-1).astype(dtype)
+    n_lay, n_lev = nlay * ncol, (nlay + 1) * ncol
+    planck_lay = plk[:n_lay].reshape(nlay, ncol, lkp.n_gpt)
+    planck_lev = plk[n_lay : n_lay + n_lev].reshape(nlay + 1, ncol, lkp.n_gpt)
+    planck_sfc = plk[n_lay + n_lev :]
 
     lay_source = planck_lay * pfrac
     lev0 = planck_lev[0] * pfrac[0]
@@ -513,15 +543,18 @@ def gas_optics_lw_raw(
         t_min=float(lkp.t_planck_min),
         t_delta=float(lkp.t_planck_delta),
     )
-    bp = lambda t: pk.planck_band_pallas(
-        t.reshape(-1), tables.totplnk_hi, tables.totplnk_lo, **kw
+    # one batched kernel call over lay+lev+sfc temperatures
+    t_all = jnp.concatenate(
+        [as_.t_lay.reshape(-1), as_.t_lev.reshape(-1), as_.t_sfc.reshape(-1)]
     )
+    plk = pk.planck_band_pallas(t_all, tables.totplnk_hi, tables.totplnk_lo, **kw)
+    n_lay, n_lev = nlay * ncol, (nlay + 1) * ncol
     return RawLWOptics(
         tau=tau[:, :ncol, :],
         pfrac=pfrac[:, :ncol, :],
-        plk_lay=bp(as_.t_lay).reshape(nlay, ncol, -1),
-        plk_lev=bp(as_.t_lev).reshape(nlay + 1, ncol, -1),
-        plk_sfc=bp(as_.t_sfc),
+        plk_lay=plk[:n_lay].reshape(nlay, ncol, -1),
+        plk_lev=plk[n_lay : n_lay + n_lev].reshape(nlay + 1, ncol, -1),
+        plk_sfc=plk[n_lay + n_lev :],
     )
 
 

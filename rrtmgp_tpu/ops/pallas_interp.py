@@ -55,6 +55,20 @@ def _dot_f32(a32, k_hi, k_lo):
     return d(a_hi, k_hi) + d(a_hi, k_lo) + d(a_lo, k_hi)
 
 
+def _stack_w(a32):
+    """Lane-stack the weight hi/lo parts for a K-stacked [hi; lo; hi] table:
+    one bf16 matmul [a_hi | a_hi | a_lo] @ [k_hi; k_lo; k_hi] accumulates all
+    three f32-accuracy passes in the MXU accumulator — 3x fewer MXU
+    dispatches than 3 separate dots (K pads to 128-row tiles either way)."""
+    a_hi, a_lo = _split_hi_lo(a32)
+    return jnp.concatenate([a_hi, a_hi, a_lo], axis=1)
+
+
+def stack_table_rows(k_hi, k_lo):
+    """(rows, w) hi/lo -> (3*rows, w) [hi; lo; hi] for the stacked matmul."""
+    return jnp.concatenate([k_hi, k_lo, k_hi], axis=0)
+
+
 def _interp_body(q, fp_ref, ft_ref, je_refs, fe_refs, cm_refs, m_hi, k_hi, k_lo,
                  out_ref, *, n_temp, n_eta, n_gpt_pad):
     """Shared body: build W, contract, eta-reduce. ``q`` is the (B, 1)
@@ -471,30 +485,36 @@ def _hat(loc, e):
 
 
 def _optics_fused_kernel(
-    qb_ref, pack_ref, khi_hbm, klo_hbm, *rest,
+    qb_ref, pack_ref, khi_hbm, klo_hbm, m2_ref, *rest,
     n_temp, n_eta, nbnd, npad, n_tables, bnd_lims_gpt, window,
     minor_groups, scal_offs, minor_ntp, with_rayleigh, ray_rows,
 ):
     n_groups = len(minor_groups)
     idx = 0
-    mk_hi = rest[idx : idx + n_groups]; idx += n_groups
-    mk_lo = rest[idx : idx + n_groups]; idx += n_groups
+    mk_stack = rest[idx : idx + n_groups]; idx += n_groups
     if with_rayleigh:
-        ray_hi = rest[idx]; ray_lo = rest[idx + 1]; idx += 2
+        ray_stack = rest[idx]; idx += 1
     out_a_ref = rest[idx]; out_b_ref = rest[idx + 1]; idx += 2
-    khi_buf, klo_buf, sem = rest[idx : idx + 3]
+    kbuf, sem = rest[idx : idx + 2]
 
     il = pl.program_id(0)
     base = pl.multiple_of(qb_ref[il], 16)
 
     @pl.when(pl.program_id(1) == 0)
     def _load_window():
-        cp_hi = pltpu.make_async_copy(khi_hbm.at[pl.ds(base, window)], khi_buf, sem.at[0])
-        cp_lo = pltpu.make_async_copy(klo_hbm.at[pl.ds(base, window)], klo_buf, sem.at[1])
-        cp_hi.start()
-        cp_lo.start()
-        cp_hi.wait()
-        cp_lo.wait()
+        # [hi; lo; hi] window slabs into one scratch for the stacked matmul
+        cps = [
+            pltpu.make_async_copy(
+                src.at[pl.ds(base, window)],
+                kbuf.at[pl.ds(i * window, window)],
+                sem.at[i],
+            )
+            for i, src in enumerate((khi_hbm, klo_hbm, khi_hbm))
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
     d = pack_ref[:]
     b = d.shape[0]
@@ -508,63 +528,115 @@ def _optics_fused_kernel(
     sw = n_tables * npad
     o = _PACK_FIXED
 
-    tau = jnp.zeros((b, npad), jnp.float32)
-    pfrac = jnp.zeros((b, npad), jnp.float32)
-    ray = jnp.zeros((b, npad), jnp.float32)
-    minor_pieces: dict = {}
-    for half in (0, 1):
-        wt = ft if half else (1.0 - ft)
-        # --- major (+planck) ---
-        qh = q + half
-        w = jnp.where(iota_q == qh, 1.0 - fp, 0.0) + jnp.where(
-            iota_q == qh + n_temp, fp, 0.0
+    # Every table contraction runs with both temperature halves stacked along
+    # M (rows) — (2B, K) @ (K, N) — halving MXU call count and doubling the M
+    # extent for systolic-array pipelining. The major contraction is CHUNKED
+    # by eta node (9 matmuls of width sw) so the result is consumed
+    # immediately by the VPU eta reduction and never materializes the full
+    # (2B, neta*n_tables*npad) buffer (which blows the 16 MB scoped VMEM).
+    w_maj = _stack_w(
+        jnp.concatenate(
+            [
+                jnp.where(iota_q == q + half, 1.0 - fp, 0.0)
+                + jnp.where(iota_q == q + half + n_temp, fp, 0.0)
+                for half in (0, 1)
+            ],
+            axis=0,
         )
-        r = _dot_f32(w, khi_buf[:], klo_buf[:])  # (B, neta * n_tables * npad)
-        loc_cols = d[:, o + 2 * half * nbnd : o + (2 * half + 1) * nbnd]
-        cm_cols = d[:, o + (2 * half + 1) * nbnd : o + (2 * half + 2) * nbnd]
-        loc_g = _expand_bands(loc_cols, bnd_lims_gpt, npad)
-        cm_g = _expand_bands(cm_cols, bnd_lims_gpt, npad)
-        if with_rayleigh:
-            qr = d[:, 5:6].astype(jnp.int32) + half
-            iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, ray_rows), 1)
-            w_r = jnp.where(iota_r == qr, 1.0, 0.0)
-            rr = _dot_f32(w_r, ray_hi[:], ray_lo[:])  # (B, neta * npad)
-        t_half = jnp.zeros((b, npad), jnp.float32)
-        p_half = jnp.zeros((b, npad), jnp.float32)
-        r_half = jnp.zeros((b, npad), jnp.float32)
-        for e in range(n_eta):
-            w_e = _hat(loc_g, float(e))
-            t_half = t_half + r[:, e * sw : e * sw + npad] * w_e
-            if n_tables == 2:
-                p_half = p_half + r[:, e * sw + npad : e * sw + 2 * npad] * w_e
-            if with_rayleigh:
-                r_half = r_half + rr[:, e * npad : (e + 1) * npad] * w_e
-        tau = tau + wt * cm_g * t_half
-        if n_tables == 2:
-            pfrac = pfrac + wt * p_half
-        if with_rayleigh:
-            ray = ray + wt * r_half
+    )  # (2B, 3*window) bf16
+    # (VPU work stays per half — Mosaic cannot sublane-concat lane-offset-
+    # mismatched slices of the pack, so only COMPUTED tensors such as the W
+    # matrices are stacked.) Eta hat weights are computed at BAND width — one
+    # vreg of arithmetic — and expanded to g-points on the MXU via the exact
+    # 0/1 band matrix ([w_hi | w_lo] @ [M; M], one tiny bf16 matmul per term):
+    # both the full-width hat arithmetic (4 ops x 32 vregs per term) and the
+    # lane-broadcast expansion were measured VPU-bound; the MXU is idle here.
+    loc_bs = [d[:, o + 2 * h * nbnd : o + (2 * h + 1) * nbnd] for h in (0, 1)]
+    m2 = m2_ref[:]
 
-        # --- minor groups ---
-        for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
-            ng = g1 - g0
-            gp = gpt_pad(ng)
-            so = scal_offs[gi]
-            blocks = [
-                jnp.where(iota_t == jt + half, d[:, so + i : so + i + 1], 0.0)
-                for i in range(n_i)
-            ]
-            wm = jnp.concatenate(blocks, axis=1)
-            rm = _dot_f32(wm, mk_hi[gi][:], mk_lo[gi][:])  # (B, neta*gp)
-            loc = d[:, o + 2 * half * nbnd + ibnd : o + 2 * half * nbnd + ibnd + 1]
-            h = jnp.zeros((b, gp), jnp.float32)
-            for e in range(n_eta):
-                h = h + rm[:, e * gp : (e + 1) * gp] * _hat(loc, float(e))
-            key = (g0, g1)
-            contrib = wt * h[:, :ng]
-            minor_pieces[key] = (
-                contrib if key not in minor_pieces else minor_pieces[key] + contrib
-            )
+    def expand_mxu(v_band):
+        v_hi, v_lo = _split_hi_lo(v_band)
+        return jnp.dot(
+            jnp.concatenate([v_hi, v_lo], axis=1), m2,
+            preferred_element_type=jnp.float32,
+        )
+
+    cm_gs = [
+        expand_mxu(d[:, o + (2 * h + 1) * nbnd : o + (2 * h + 2) * nbnd])
+        for h in (0, 1)
+    ]
+    wts = (1.0 - ft, ft)
+
+    dot = lambda a, k: jnp.dot(a, k, preferred_element_type=jnp.float32)
+    if with_rayleigh:
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, ray_rows), 1)
+        qr = d[:, 5:6].astype(jnp.int32)
+        # 0/1 weights are bf16-exact: 2-stack [w | w] @ [hi; lo]
+        w_ray1 = jnp.concatenate(
+            [jnp.where(iota_r == qr + half, 1.0, 0.0) for half in (0, 1)], axis=0
+        ).astype(jnp.bfloat16)
+        w_ray = jnp.concatenate([w_ray1, w_ray1], axis=1)  # (2B, 2*ray_rows)
+    # minor contractions (small) run up front; chunks consumed in the e loop
+    rm_all = []
+    for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
+        so = scal_offs[gi]
+        wm = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        jnp.where(iota_t == jt + half, d[:, so + i : so + i + 1], 0.0)
+                        for i in range(n_i)
+                    ],
+                    axis=1,
+                )
+                for half in (0, 1)
+            ],
+            axis=0,
+        )  # (2B, n_i * ntp)
+        rm_all.append(dot(_stack_w(wm), mk_stack[gi][:]))  # (2B, neta*gp)
+
+    t_acc = [jnp.zeros((b, npad), jnp.float32) for _ in (0, 1)]
+    p_acc = [jnp.zeros((b, npad), jnp.float32) for _ in (0, 1)]
+    ray_acc = [jnp.zeros((b, npad), jnp.float32) for _ in (0, 1)]
+    m_acc = [
+        [jnp.zeros((b, gpt_pad(g1 - g0)), jnp.float32) for _ in (0, 1)]
+        for (g0, g1, n_i, ibnd) in minor_groups
+    ]
+    for e in range(n_eta):
+        r_e = dot(w_maj, kbuf[:, e * sw : (e + 1) * sw])  # (2B, sw)
+        if with_rayleigh:
+            rr_e = dot(w_ray, ray_stack[:, e * npad : (e + 1) * npad])
+        for half in (0, 1):
+            w_e = expand_mxu(_hat(loc_bs[half], float(e)))  # (B, npad)
+            r_h = r_e[half * b : (half + 1) * b]
+            t_acc[half] = t_acc[half] + r_h[:, :npad] * w_e
+            if n_tables == 2:
+                p_acc[half] = p_acc[half] + r_h[:, npad:] * w_e
+            if with_rayleigh:
+                ray_acc[half] = ray_acc[half] + rr_e[half * b : (half + 1) * b] * w_e
+            for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
+                gp = gpt_pad(g1 - g0)
+                loc_col = loc_bs[half][:, ibnd : ibnd + 1]
+                m_acc[gi][half] = m_acc[gi][half] + rm_all[gi][
+                    half * b : (half + 1) * b, e * gp : (e + 1) * gp
+                ] * _hat(loc_col, float(e))
+    tau = wts[0] * cm_gs[0] * t_acc[0] + wts[1] * cm_gs[1] * t_acc[1]
+    if n_tables == 2:
+        pfrac = wts[0] * p_acc[0] + wts[1] * p_acc[1]
+    else:
+        pfrac = jnp.zeros((b, npad), jnp.float32)
+    if with_rayleigh:
+        ray = wts[0] * ray_acc[0] + wts[1] * ray_acc[1]
+    else:
+        ray = jnp.zeros((b, npad), jnp.float32)
+    minor_pieces: dict = {}
+    for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
+        ng = g1 - g0
+        contrib = wts[0] * m_acc[gi][0][:, :ng] + wts[1] * m_acc[gi][1][:, :ng]
+        key = (g0, g1)
+        minor_pieces[key] = (
+            contrib if key not in minor_pieces else minor_pieces[key] + contrib
+        )
 
     tau = tau * col_dry
     for (g0, g1), piece in minor_pieces.items():
@@ -591,10 +663,8 @@ def _optics_fused_kernel(
 def optics_fused(
     k2_hi: jax.Array,
     k2_lo: jax.Array,
-    minor_hi: tuple,
-    minor_lo: tuple,
-    ray_hi: jax.Array | None,
-    ray_lo: jax.Array | None,
+    minor_stack: tuple,          # per group (3 * n_i * ntp, neta*gp) bf16 [hi;lo;hi]
+    ray_stack: jax.Array | None, # (2 * ray_rows, neta*npad) bf16 [hi;lo]
     q_base: jax.Array,
     pack: jax.Array,
     *,
@@ -625,18 +695,21 @@ def optics_fused(
         n_temp=n_temp, n_eta=n_eta, nbnd=nbnd, npad=npad, n_tables=n_tables,
         bnd_lims_gpt=bnd_lims_gpt, window=window, minor_groups=minor_groups,
         scal_offs=scal_offs, minor_ntp=minor_ntp, with_rayleigh=with_rayleigh,
-        ray_rows=0 if ray_hi is None else ray_hi.shape[0],
+        ray_rows=0 if ray_stack is None else ray_stack.shape[0] // 2,
     )
+    m = _band_matrix(bnd_lims_gpt, n_gpt)  # (nbnd, npad) 0/1 bf16
+    m2 = jnp.concatenate([m, m], axis=0)   # [M; M] for hi/lo-stacked weights
     full = lambda arr: pl.BlockSpec(arr.shape, lambda l, c, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((block_rows, pack.shape[1]), lambda l, c, *_: row_idx(l, c), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
-    ] + [full(k) for k in minor_hi] + [full(k) for k in minor_lo]
-    operands = [pack, k2_hi, k2_lo, *minor_hi, *minor_lo]
+        full(m2),
+    ] + [full(k) for k in minor_stack]
+    operands = [pack, k2_hi, k2_lo, m2, *minor_stack]
     if with_rayleigh:
-        in_specs += [full(ray_hi), full(ray_lo)]
-        operands += [ray_hi, ray_lo]
+        in_specs += [full(ray_stack)]
+        operands += [ray_stack]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nlay, nblk),
@@ -646,9 +719,8 @@ def optics_fused(
             for _ in range(2)
         ),
         scratch_shapes=[
-            pltpu.VMEM((window, k2_hi.shape[1]), jnp.bfloat16),
-            pltpu.VMEM((window, k2_hi.shape[1]), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3 * window, k2_hi.shape[1]), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     out = pl.pallas_call(

@@ -202,17 +202,30 @@ def sw_2stream_pallas(
 
 
 def _sw_sweep_reduced_kernel(
-    tau_ref, ssa_ref, g_ref,          # (nlay, B, G)
-    mu0_ref, toa_ref, adir_ref, adif_ref, incdif_ref,  # (B, G)
-    up_ref, dn_ref, dir_ref,          # (B, nlev) outputs: g-point-summed fluxes
-    dirf, albedo, src,                # scratch (nlev, B, G)
-    up_acc, dn_acc,                   # scratch (nlev, B)
-    *, nlay: int,
+    *refs,
+    # with has_g: tau, ssa, g (nlay,B,G); mu0, toa, adir, adif, incdif (B,G);
+    # outputs up, dn, dir (B, nlev); scratch dirf/albedo/src (nlev,B,G),
+    # up_acc/dn_acc (nlev,B). Without has_g the g_ref operand is absent and
+    # the asymmetry factor is the constant 0 (clear-sky Rayleigh scattering,
+    # ref shortwave2stream.jl: gas-only ssa has g=0) — saves one full
+    # (nlay, ncol, ngpt) HBM tensor of write+read traffic.
+    nlay: int,
+    has_g: bool,
 ):
     """SW sweep with the spectral reduction fused in: only (nlev, B) flux
     columns leave VMEM (the reference accumulates per-g-point fluxes into one
     buffer, /root/reference/src/rte/shortwave2stream.jl:92-102; here the
     g-point axis lives on lanes so the accumulation is a lane-axis sum)."""
+    if has_g:
+        (tau_ref, ssa_ref, g_ref, mu0_ref, toa_ref, adir_ref, adif_ref,
+         incdif_ref, up_ref, dn_ref, dir_ref, dirf, albedo, src,
+         up_acc, dn_acc) = refs
+        gval = lambda ilay: g_ref[ilay]
+    else:
+        (tau_ref, ssa_ref, mu0_ref, toa_ref, adir_ref, adif_ref,
+         incdif_ref, up_ref, dn_ref, dir_ref, dirf, albedo, src,
+         up_acc, dn_acc) = refs
+        gval = lambda ilay: 0.0
     eps = float(jnp.finfo(jnp.float32).eps)
     mu0 = mu0_ref[:]
     mu0_safe = jnp.maximum(mu0, eps)
@@ -234,7 +247,7 @@ def _sw_sweep_reduced_kernel(
     def up_step(ilay, carry):
         alb_i, src_i = carry
         Rdir, Tdir, Rdif, Tdif = _sw_coeffs(
-            tau_ref[ilay], ssa_ref[ilay], g_ref[ilay], mu0, eps
+            tau_ref[ilay], ssa_ref[ilay], gval(ilay), mu0, eps
         )
         denom = 1.0 / (1.0 - Rdif * alb_i)
         d_above = dirf[ilay + 1]
@@ -253,7 +266,7 @@ def _sw_sweep_reduced_kernel(
     def down_step(i, carry):
         ilay = nlay - 1 - i
         Rdir, Tdir, Rdif, Tdif = _sw_coeffs(
-            tau_ref[ilay], ssa_ref[ilay], g_ref[ilay], mu0, eps
+            tau_ref[ilay], ssa_ref[ilay], gval(ilay), mu0, eps
         )
         alb_i = albedo[ilay]
         src_i = src[ilay]
@@ -273,7 +286,7 @@ def _sw_sweep_reduced_kernel(
 def sw_2stream_pallas_reduced(
     tau: jax.Array,   # (nlay, ncol, ngpt) f32
     ssa: jax.Array,
-    g: jax.Array,
+    g: jax.Array | None,     # None => asymmetry identically 0 (clear sky)
     mu0: jax.Array,          # (ncol, ngpt)
     toa_flux: jax.Array,     # (ncol, ngpt)
     sfc_alb_direct: jax.Array,
@@ -305,11 +318,13 @@ def sw_2stream_pallas_reduced(
     # tile. One cheap XLA transpose restores the (nlev, ncol) convention.
     red_spec = pl.BlockSpec((block_cols, nlev), lambda c: (c, 0), memory_space=pltpu.VMEM)
 
+    has_g = g is not None
+    lay_ops = [padg(tau), padg(ssa)] + ([padg(g)] if has_g else [])
     out = pl.pallas_call(
-        functools.partial(_sw_sweep_reduced_kernel, nlay=nlay),
+        functools.partial(_sw_sweep_reduced_kernel, nlay=nlay, has_g=has_g),
         interpret=_interpret(),
         grid=(ncp // block_cols,),
-        in_specs=[lay_spec] * 3 + [col_spec] * 5,
+        in_specs=[lay_spec] * len(lay_ops) + [col_spec] * 5,
         out_specs=(red_spec, red_spec, red_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((ncp, nlev), jnp.float32) for _ in range(3)
@@ -317,7 +332,7 @@ def sw_2stream_pallas_reduced(
         scratch_shapes=[pltpu.VMEM((nlev, block_cols, gp), jnp.float32) for _ in range(3)]
         + [pltpu.VMEM((nlev, block_cols), jnp.float32) for _ in range(2)],
     )(
-        padg(tau), padg(ssa), padg(g),
+        *lay_ops,
         padg(mu0), padg(toa_flux), padg(sfc_alb_direct), padg(sfc_alb_diffuse),
         padg(inc),
     )
