@@ -35,7 +35,7 @@ from .gas_optics import (
     LWSources,
     PTInterp,
     SWOptics,
-    compute_eta_interp,
+    compute_eta_interp_bl,
     compute_planck_sources,
     compute_pt_interp,
     gpt2band_np,
@@ -184,6 +184,15 @@ def _pad_cols(x, ncol_pad):
     return jnp.pad(x, widths, mode="edge")
 
 
+def _pad_last(x, ncol_pad):
+    """Pad the trailing column axis with edge values (band-leading arrays)."""
+    pad = ncol_pad - x.shape[-1]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths, mode="edge")
+
+
 def _flat(x, rows):
     return x.reshape(rows, *x.shape[2:])
 
@@ -201,16 +210,19 @@ def _interp_table(
         bnd_lims_gpt=lkp.bnd_lims_gpt,
     )
     f32 = lambda x: x.astype(jnp.float32)
+    # eta data arrives band-LEADING (nbnd, nlay, ncol); this cold fallback
+    # kernel wants (rows, nbnd) — pay one transpose per operand here.
+    bt = lambda x: jnp.moveaxis(x, 0, -1).reshape(rows, -1)
     args = (
         _flat(q2d, rows).astype(jnp.int32),
         f32(_flat(fp2d, rows)),
         f32(_flat(pt2d.ftemp, rows)),
-        _flat(eta2d.jeta1, rows),
-        f32(_flat(eta2d.feta1, rows)),
-        _flat(eta2d.jeta2, rows),
-        f32(_flat(eta2d.feta2, rows)),
-        f32(_flat(cm_pair[0], rows)),
-        f32(_flat(cm_pair[1], rows)),
+        bt(eta2d.jeta1),
+        f32(bt(eta2d.feta1)),
+        bt(eta2d.jeta2),
+        f32(bt(eta2d.feta2)),
+        f32(bt(cm_pair[0])),
+        f32(bt(cm_pair[1])),
     )
     if windowed:
         q_base, ok = pk.window_bases(q2d, lkp.n_temp, tables_hi.shape[0], 96)
@@ -234,14 +246,18 @@ def _interp_table(
 
 
 def _prep(lkp: GasLookup, as_: AtmosphericState, block: int):
-    """Shared per-solve preprocessing: pt/eta data, padded to block multiple."""
+    """Shared per-solve preprocessing: pt/eta data, padded to block multiple.
+
+    Eta data is band-LEADING — each EtaInterp field (nbnd, nlay, ncol_pad) —
+    so the pack rows are plain reshapes (no strided transposes) and the eta
+    arithmetic runs on full 128-lane vectors."""
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    eta = compute_eta_interp(lkp, as_.vmr, pt)
+    eta = compute_eta_interp_bl(lkp, as_.vmr, pt)
     ncol = as_.ncol
     ncol_pad = -(-ncol // block) * block
     padp = lambda x: _pad_cols(x, ncol_pad)
     pt2d = PTInterp(*(padp(x) for x in pt))
-    eta2d = EtaInterp(*(padp(x) for x in eta))
+    eta2d = EtaInterp(*(_pad_last(x, ncol_pad) for x in eta))
     f32 = lambda x: x.astype(jnp.float32)
     q_major = pt2d.jpress_base * lkp.n_temp + pt2d.jtemp
     return pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad
@@ -296,10 +312,10 @@ def _tau_minor_merged(lkp, tables, as_, pt2d, eta2d, ncol_pad, block):
         ibnd = int(g2b[g0])
         eta_offs.append(off)
         cols += [
-            eta2d.jeta1[:, :, ibnd].astype(dtype).reshape(1, rows),
-            eta2d.feta1[:, :, ibnd].astype(dtype).reshape(1, rows),
-            eta2d.jeta2[:, :, ibnd].astype(dtype).reshape(1, rows),
-            eta2d.feta2[:, :, ibnd].astype(dtype).reshape(1, rows),
+            eta2d.jeta1[ibnd].astype(dtype).reshape(1, rows),
+            eta2d.feta1[ibnd].astype(dtype).reshape(1, rows),
+            eta2d.jeta2[ibnd].astype(dtype).reshape(1, rows),
+            eta2d.feta2[ibnd].astype(dtype).reshape(1, rows),
         ]
         off += 4
         scal_offs.append(off)
@@ -359,19 +375,14 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
                     scaling = scaling * (sg * dry_fact)
         return jnp.where(mask, scaling, 0.0)
 
-    # Build the pack TRANSPOSED — (n_fields, rows) — then one XLA transpose.
-    # A minor-axis concat of ~20 width-1 pieces costs ~15 ms at DYAMOND widths
-    # (each width-1 column is a masked lane store); concatenating contiguous
-    # (1, rows) sublane rows + one dense (128, rows)->(rows, 128) transpose is
-    # bandwidth-bound (~1 ms).
+    # The scalar pack stays TRANSPOSED — (npk, rows), rows on lanes — so the
+    # XLA assembly is a cheap sublane concat of ~13 contiguous (1, rows)
+    # pieces (the old (rows, 128) layout needed a sublane-amplified 252 MB
+    # concat plus per-piece layout copies, ~12 ms/solve at 8k cols). The
+    # kernel transposes its (npk, B) tile in VMEM. Eta data rides as four
+    # separate band-leading (nbnd, rows) operands, zero-copy from eta interp.
     c1 = lambda x: x.astype(dtype).reshape(1, rows)
-    # The barrier materializes each transposed band block before the pack
-    # concat: fusing the strided (nlay, ncol, nbnd) -> (nbnd, rows) transpose
-    # INTO the 252 MB concat costs ~6 ms (16-lane granularity writes); two
-    # contiguous passes are bandwidth-bound (~1 ms).
-    cb = lambda x: jax.lax.optimization_barrier(
-        jnp.moveaxis(x.astype(dtype), -1, 0).reshape(-1, rows)
-    )
+    cb = lambda x: x.astype(dtype).reshape(-1, rows)
     if with_ray:
         q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
         ray_cm = (vmr_h2o + 1.0) * col_dry
@@ -381,12 +392,14 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
     cols = [
         c1(q_major), c1(pt2d.jtemp), c1(pt2d.fpress), c1(pt2d.ftemp),
         c1(col_dry), c1(q_ray), c1(ray_cm),
+    ]
+    eta_ops = (
         cb(eta2d.jeta1.astype(dtype) + eta2d.feta1.astype(dtype)),
         cb(eta2d.col_mix1),
         cb(eta2d.jeta2.astype(dtype) + eta2d.feta2.astype(dtype)),
         cb(eta2d.col_mix2),
-    ]
-    off = 7 + 4 * lkp.n_bnd
+    )
+    off = 7
     g2b = gpt2band_np(lkp)
     groups_static, scal_offs = [], []
     for g0, g1, entries in tables.minor_groups:
@@ -397,10 +410,10 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
             off += 1
         groups_static.append((g0, g1, len(entries), int(g2b[g0])))
     pack_t = jnp.concatenate(cols, axis=0)
-    wpad = -(-pack_t.shape[0] // 128) * 128
+    wpad = -(-pack_t.shape[0] // 8) * 8
     if wpad != pack_t.shape[0]:
         pack_t = jnp.pad(pack_t, ((0, wpad - pack_t.shape[0]), (0, 0)))
-    return pack_t.T, tuple(groups_static), tuple(scal_offs)
+    return pack_t, eta_ops, tuple(groups_static), tuple(scal_offs)
 
 
 def _optics_fused_call(
@@ -417,7 +430,7 @@ def _optics_fused_call(
     nlay = as_.nlay
     rows = nlay * ncol_pad
     f32 = lambda x: x.astype(jnp.float32)
-    pack, groups_static, scal_offs = _build_pack(
+    pack, eta_ops, groups_static, scal_offs = _build_pack(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray
     )
     window = min(96, tables.fused_hi.shape[0])
@@ -427,7 +440,7 @@ def _optics_fused_call(
     def fused():
         return pk.optics_fused(
             tables.fused_hi, tables.fused_lo, tables.minor_stack,
-            tables.ray_stack, q_base, pack,
+            tables.ray_stack, q_base, pack, eta_ops,
             n_temp=lkp.n_temp, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             bnd_lims_gpt=lkp.bnd_lims_gpt, n_tables=n_tables, window=window,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -449,8 +462,10 @@ def _optics_fused_call(
             vmr_h2o = (
                 _pad_cols(vmr_h2o_raw, ncol_pad) if vmr_h2o_raw.ndim == 2 else vmr_h2o_raw
             ).astype(jnp.float32)
-            ray_cm = ((vmr_h2o + 1.0) * col_dry)[..., None] * jnp.ones(
-                (1, 1, lkp.n_bnd), jnp.float32
+            # band-leading like the rest of the eta data
+            ray_cm = jnp.broadcast_to(
+                ((vmr_h2o + 1.0) * col_dry)[None],
+                (lkp.n_bnd, *col_dry.shape),
             )
             q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
             tau_ray = _interp_table(

@@ -464,17 +464,26 @@ def interp_minor_merged(
 # minor-gas groups, and (SW) Rayleigh — producing final tau and pfrac/ssa.
 # Eta weights use the hat form max(0, 1 - |loc - e|) with loc = jeta + feta
 # packed as one field (one lane expansion instead of two, 3 VPU ops per
-# eta node). Everything rides ONE packed (rows, 128k) input array.
+# eta node).
 #
-# Pack layout (columns):
-#   0 q_major   combined (press_slab * ntemp + jtemp) row, minus nothing
+# Inputs ride (a) one narrow TRANSPOSED scalar pack (npk, rows) — rows on
+# lanes, so XLA assembles it with a cheap sublane concat of ~13 contiguous
+# (1, rows) pieces instead of the 252 MB (rows, 128) pack whose assembly
+# (sublane-amplified concat + per-piece layout copies) cost ~12 ms/solve at
+# 8k columns — and (b) four band-leading (nbnd, rows) f32 eta operands
+# (loc1/cm1/loc2/cm2) straight out of eta interp, zero-copy. Both are
+# transposed per block in-kernel (f32 2D transposes are cheap in Mosaic;
+# NOTE bf16 transposes and axis-0-contracting dot_general miscompile on
+# v5e — keep transposes f32 and contractions lane-axis).
+#
+# Scalar pack rows:
+#   0 q_major   combined (press_slab * ntemp + jtemp) row
 #   1 jtemp     temperature row for minor tables
 #   2 fpress    pressure fraction
 #   3 ftemp     temperature fraction
 #   4 col_dry   dry column density (scales tau_major)
 #   5 q_ray     combined (tropo * ntemp + jtemp) Rayleigh row (SW; 0 LW)
 #   6 ray_cm    Rayleigh scaling (vmr_h2o + 1) * col_dry (SW; 0 LW)
-#   7 .. 7+4*nbnd:  loc1 | cm1 | loc2 | cm2   (band blocks)
 #   then per-group interval scalings (tropo-masked, from scal_offs)
 
 _PACK_FIXED = 7
@@ -485,7 +494,8 @@ def _hat(loc, e):
 
 
 def _optics_fused_kernel(
-    qb_ref, pack_ref, khi_hbm, klo_hbm, m2_ref, *rest,
+    qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref,
+    khi_hbm, klo_hbm, m2_ref, *rest,
     n_temp, n_eta, nbnd, npad, n_tables, bnd_lims_gpt, window,
     minor_groups, scal_offs, minor_ntp, with_rayleigh, ray_rows,
 ):
@@ -516,7 +526,7 @@ def _optics_fused_kernel(
         for cp in cps:
             cp.wait()
 
-    d = pack_ref[:]
+    d = pack_ref[:].T  # (npk, B) tile -> (B, npk); f32 2D transpose is cheap
     b = d.shape[0]
     q = d[:, 0:1].astype(jnp.int32) - base
     jt = d[:, 1:2].astype(jnp.int32)
@@ -526,7 +536,6 @@ def _optics_fused_kernel(
     iota_q = jax.lax.broadcasted_iota(jnp.int32, (b, window), 1)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (b, minor_ntp), 1)
     sw = n_tables * npad
-    o = _PACK_FIXED
 
     # Every table contraction runs with both temperature halves stacked along
     # M (rows) — (2B, K) @ (K, N) — halving MXU call count and doubling the M
@@ -551,7 +560,7 @@ def _optics_fused_kernel(
     # 0/1 band matrix ([w_hi | w_lo] @ [M; M], one tiny bf16 matmul per term):
     # both the full-width hat arithmetic (4 ops x 32 vregs per term) and the
     # lane-broadcast expansion were measured VPU-bound; the MXU is idle here.
-    loc_bs = [d[:, o + 2 * h * nbnd : o + (2 * h + 1) * nbnd] for h in (0, 1)]
+    loc_bs = [loc1_ref[:].T, loc2_ref[:].T]  # (nbnd, B) tiles -> (B, nbnd)
     m2 = m2_ref[:]
 
     def expand_mxu(v_band):
@@ -561,10 +570,7 @@ def _optics_fused_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    cm_gs = [
-        expand_mxu(d[:, o + (2 * h + 1) * nbnd : o + (2 * h + 2) * nbnd])
-        for h in (0, 1)
-    ]
+    cm_gs = [expand_mxu(cm1_ref[:].T), expand_mxu(cm2_ref[:].T)]
     wts = (1.0 - ft, ft)
 
     dot = lambda a, k: jnp.dot(a, k, preferred_element_type=jnp.float32)
@@ -666,7 +672,8 @@ def optics_fused(
     minor_stack: tuple,          # per group (3 * n_i * ntp, neta*gp) bf16 [hi;lo;hi]
     ray_stack: jax.Array | None, # (2 * ray_rows, neta*npad) bf16 [hi;lo]
     q_base: jax.Array,
-    pack: jax.Array,
+    pack: jax.Array,             # (npk_pad, rows) f32 TRANSPOSED scalar pack
+    eta_ops: tuple,              # (loc1, cm1, loc2, cm2), each (nbnd, rows) f32
     *,
     n_temp: int,
     n_eta: int,
@@ -682,7 +689,7 @@ def optics_fused(
 ):
     """Whole gas-optics in one kernel; returns (tau, pfrac|ssa), (rows, n_gpt)."""
     nlay = q_base.shape[0]
-    rows = pack.shape[0]
+    rows = pack.shape[1]
     ncol = rows // nlay
     assert ncol % block_rows == 0, (ncol, block_rows)
     nblk = ncol // block_rows
@@ -690,6 +697,7 @@ def optics_fused(
     nbnd = len(bnd_lims_gpt)
 
     row_idx = lambda l, c: (l * nblk + c, 0)
+    col_idx = lambda l, c: (0, l * nblk + c)
     kernel = functools.partial(
         _optics_fused_kernel,
         n_temp=n_temp, n_eta=n_eta, nbnd=nbnd, npad=npad, n_tables=n_tables,
@@ -700,13 +708,17 @@ def optics_fused(
     m = _band_matrix(bnd_lims_gpt, n_gpt)  # (nbnd, npad) 0/1 bf16
     m2 = jnp.concatenate([m, m], axis=0)   # [M; M] for hi/lo-stacked weights
     full = lambda arr: pl.BlockSpec(arr.shape, lambda l, c, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    tcol = lambda width: pl.BlockSpec(
+        (width, block_rows), lambda l, c, *_: col_idx(l, c), memory_space=pltpu.VMEM
+    )
     in_specs = [
-        pl.BlockSpec((block_rows, pack.shape[1]), lambda l, c, *_: row_idx(l, c), memory_space=pltpu.VMEM),
+        tcol(pack.shape[0]),
+        tcol(nbnd), tcol(nbnd), tcol(nbnd), tcol(nbnd),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
         full(m2),
     ] + [full(k) for k in minor_stack]
-    operands = [pack, k2_hi, k2_lo, m2, *minor_stack]
+    operands = [pack, *eta_ops, k2_hi, k2_lo, m2, *minor_stack]
     if with_rayleigh:
         in_specs += [full(ray_stack)]
         operands += [ray_stack]
