@@ -46,20 +46,34 @@ def main() -> None:
     )
 
     if jax.default_backend() == "tpu":
-        from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables
+        from rrtmgp_tpu.ops.gas_optics_pallas import (
+            build_pallas_tables,
+            compute_min_window,
+        )
 
         tabs_lw = build_pallas_tables(lkp_lw)
         tabs_sw = build_pallas_tables(lkp_sw)
+        # static per-layer table window, computed once at init from the
+        # atmosphere (the invariant depends only on the p/t fields)
+        win_lw = compute_min_window(lkp_lw, atm)
+        win_sw = compute_min_window(lkp_sw, atm)
     else:
         tabs_lw = tabs_sw = None
+        win_lw = win_sw = 96
 
     # the synthetic pressure grid satisfies the per-layer window invariant;
     # "force" skips the runtime fallback cond (saves operand copies)
     f_lw = jax.jit(
-        lambda a, b: solve_lw(lkp_lw, a, b, pallas_tables=tabs_lw, pallas_windowed="force")[0]
+        lambda a, b: solve_lw(
+            lkp_lw, a, b, pallas_tables=tabs_lw, pallas_windowed="force",
+            pallas_window=win_lw,
+        )[0]
     )
     f_sw = jax.jit(
-        lambda a, b: solve_sw(lkp_sw, a, b, pallas_tables=tabs_sw, pallas_windowed="force")[0]
+        lambda a, b: solve_sw(
+            lkp_sw, a, b, pallas_tables=tabs_sw, pallas_windowed="force",
+            pallas_window=win_sw,
+        )[0]
     )
 
     # warm-up / compile

@@ -190,6 +190,8 @@ def solve_lw(
     pallas_tables=None,                  # PallasGasTables -> TPU kernel path
     pallas_rte: bool | None = None,      # None: auto (on iff pallas_tables, f32)
     pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
+    pallas_window: int = 96,             # static table-row window (see
+                                         # gas_optics_pallas.compute_min_window)
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -209,13 +211,13 @@ def solve_lw(
             # emission values — never materialized at (nlay, ncol, ngpt)
             from ..ops.gas_optics_pallas import gas_optics_lw_raw as _pallas_lw_raw
 
-            raw = _pallas_lw_raw(lkp, pallas_tables, as_, windowed=pallas_windowed)
+            raw = _pallas_lw_raw(lkp, pallas_tables, as_, windowed=pallas_windowed, window_size=pallas_window)
             optics = None
             tau = raw.tau
         else:
             from ..ops.gas_optics_pallas import gas_optics_lw as _pallas_lw
 
-            optics = _pallas_lw(lkp, pallas_tables, as_, windowed=pallas_windowed)
+            optics = _pallas_lw(lkp, pallas_tables, as_, windowed=pallas_windowed, window_size=pallas_window)
             tau = optics.tau
     else:
         optics = gas_optics_lw(lkp, as_)
@@ -299,6 +301,8 @@ def solve_sw(
     pallas_tables=None,                  # PallasGasTables -> TPU kernel path
     pallas_rte: bool | None = None,      # None: auto (on iff pallas_tables, f32)
     pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
+    pallas_window: int = 96,             # static table-row window (see
+                                         # gas_optics_pallas.compute_min_window)
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -314,7 +318,7 @@ def solve_sw(
     if pallas_tables is not None:
         from ..ops.gas_optics_pallas import gas_optics_sw as _pallas_sw
 
-        optics = _pallas_sw(lkp, pallas_tables, as_, windowed=pallas_windowed)
+        optics = _pallas_sw(lkp, pallas_tables, as_, windowed=pallas_windowed, window_size=pallas_window)
     else:
         optics = gas_optics_sw(lkp, as_)
     tau = optics.tau

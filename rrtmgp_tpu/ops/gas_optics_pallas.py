@@ -416,9 +416,32 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
     return pack_t, eta_ops, tuple(groups_static), tuple(scal_offs)
 
 
+def compute_min_window(lkp: GasLookup, as_: AtmosphericState) -> int:
+    """Smallest safe kernel window for this atmosphere (EAGER — the window is
+    a static kernel shape). Returns the smallest MXU-tile bucket covering
+    every layer's (press, temp) row span: the stacked-K major contraction
+    uses K = 3*window bf16, so 42 -> one 128-row K tile, 85 -> two, 128 ->
+    three. The span depends only on the p/t fields' per-layer spread across
+    columns; for time-stepped hosts compute it once from a worst-case state
+    (or rely on windowed="auto"'s runtime fallback). Buckets are 8-row
+    aligned (Mosaic DMA slice-shape requirement): 40 -> K=120 (one tile),
+    80 -> K=240 (two), 128 -> K=384 (three)."""
+    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
+    q = pt.jpress_base * lkp.n_temp + pt.jtemp
+    q_min = jnp.min(q, axis=1)
+    q_max = jnp.max(q, axis=1)
+    base = (q_min // 16) * 16  # window_bases aligns bases down to 16
+    req = int(jnp.max(q_max + lkp.n_temp + 2 - base))
+    n_rows = (lkp.n_press + 1) * lkp.n_temp
+    for bucket in (40, 80, 128):
+        if req <= bucket <= n_rows:
+            return bucket
+    return min(-(-req // 16) * 16, n_rows)
+
+
 def _optics_fused_call(
     lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray,
-    windowed="auto",
+    windowed="auto", window_size=96,
 ):
     """optics_fused when the window invariant holds; composed v1 path else.
 
@@ -426,6 +449,7 @@ def _optics_fused_call(
     (costs operand copies ~5 ms at DYAMOND widths); "force" = assume it holds
     (callers may verify once, eagerly, on the first step — the invariant
     depends only on the pressure grid); "off" = always the full-width path.
+    window_size: static table-row window per layer; see compute_min_window.
     """
     nlay = as_.nlay
     rows = nlay * ncol_pad
@@ -433,7 +457,7 @@ def _optics_fused_call(
     pack, eta_ops, groups_static, scal_offs = _build_pack(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray
     )
-    window = min(96, tables.fused_hi.shape[0])
+    window = min(window_size, tables.fused_hi.shape[0])
     q_base, ok = pk.window_bases(q_major, lkp.n_temp, tables.fused_hi.shape[0], window)
     n_tables = tables.fused_n_tables
 
@@ -544,13 +568,13 @@ class RawLWOptics(NamedTuple):
 
 def gas_optics_lw_raw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
-    block: int = 256, windowed: str = "auto",
+    block: int = 256, windowed: str = "auto", window_size: int = 96,
 ) -> RawLWOptics:
     """LW gas optics for the source-fused sweep: tau + pfrac + band Plancks."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
     tau, pfrac = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=False,
-        windowed=windowed,
+        windowed=windowed, window_size=window_size,
     )
     nlay = as_.nlay
     kw = dict(
@@ -575,14 +599,14 @@ def gas_optics_lw_raw(
 
 def gas_optics_lw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
-    block: int = 256, windowed: str = "auto",
+    block: int = 256, windowed: str = "auto", window_size: int = 96,
 ) -> LWOptics:
     """LW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_lw."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
 
     tau, pfrac = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=False,
-        windowed=windowed,
+        windowed=windowed, window_size=window_size,
     )
     tau = tau[:, :ncol, :]
     pfrac = pfrac[:, :ncol, :]
@@ -592,14 +616,14 @@ def gas_optics_lw(
 
 def gas_optics_sw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
-    block: int = 256, windowed: str = "auto",
+    block: int = 256, windowed: str = "auto", window_size: int = 96,
 ) -> SWOptics:
     """SW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_sw."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
 
     tau, ssa = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=True,
-        windowed=windowed,
+        windowed=windowed, window_size=window_size,
     )
     dtype = as_.p_lay.dtype
     return SWOptics(tau=tau[:, :ncol, :].astype(dtype), ssa=ssa[:, :ncol, :].astype(dtype))
