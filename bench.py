@@ -61,19 +61,25 @@ def main() -> None:
         tabs_lw = tabs_sw = None
         win_lw = win_sw = 96
 
+    from rrtmgp_tpu.utils.compile import sweep_block_cols, tpu_compiler_options
+
+    copts = tpu_compiler_options()
+    scols = sweep_block_cols()
     # the synthetic pressure grid satisfies the per-layer window invariant;
     # "force" skips the runtime fallback cond (saves operand copies)
     f_lw = jax.jit(
         lambda a, b: solve_lw(
             lkp_lw, a, b, pallas_tables=tabs_lw, pallas_windowed="force",
-            pallas_window=win_lw,
-        )[0]
+            pallas_window=win_lw, pallas_sweep_cols=scols,
+        )[0],
+        compiler_options=copts,
     )
     f_sw = jax.jit(
         lambda a, b: solve_sw(
             lkp_sw, a, b, pallas_tables=tabs_sw, pallas_windowed="force",
-            pallas_window=win_sw,
-        )[0]
+            pallas_window=win_sw, pallas_sweep_cols=scols,
+        )[0],
+        compiler_options=copts,
     )
 
     # warm-up / compile

@@ -192,6 +192,8 @@ def solve_lw(
     pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
     pallas_window: int = 96,             # static table-row window (see
                                          # gas_optics_pallas.compute_min_window)
+    pallas_sweep_cols: int = 16,         # RTE sweep column block; 128 on TPU
+                                         # with utils.compile.tpu_compiler_options
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -241,7 +243,7 @@ def solve_lw(
         flux_up, flux_dn = lw_noscat_banded_reduced(
             tau, raw.pfrac, raw.plk_lay, raw.plk_lev, raw.plk_sfc,
             bcs.sfc_emis.T.astype(jnp.float32), float(Ds[0]), float(wts[0]),
-            lkp.bnd_lims_gpt, inc,
+            lkp.bnd_lims_gpt, inc, block_cols=pallas_sweep_cols,
         )
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
         flux = _apply_metric_scaling(flux, metric_scaling)
@@ -268,6 +270,7 @@ def solve_lw(
         flux_up, flux_dn = lw_noscat_pallas_reduced(
             tau, optics.sources.lay_source, optics.sources.lev_source,
             optics.sources.sfc_source, sfc_emis, float(Ds[0]), float(wts[0]), inc,
+            block_cols=min(pallas_sweep_cols, 64),
         )
     else:
         up, dn = rte.lw_noscat(
@@ -303,6 +306,8 @@ def solve_sw(
     pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
     pallas_window: int = 96,             # static table-row window (see
                                          # gas_optics_pallas.compute_min_window)
+    pallas_sweep_cols: int = 16,         # RTE sweep column block; 128 on TPU
+                                         # with utils.compile.tpu_compiler_options
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -351,7 +356,7 @@ def solve_sw(
 
             flux_up, flux_dn, flux_dn_dir = sw_2stream_pallas_reduced(
                 tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif,
-                bcs.inc_flux_diffuse,
+                bcs.inc_flux_diffuse, block_cols=min(pallas_sweep_cols, 64),
             )
         else:
             g_arr = jnp.zeros_like(tau) if g_asym is None else g_asym

@@ -469,7 +469,7 @@ def _optics_fused_call(
             bnd_lims_gpt=lkp.bnd_lims_gpt, n_tables=n_tables, window=window,
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=tables.minor_ntp, with_rayleigh=with_ray,
-            block_rows=min(block, 128),
+            block_rows=block,
         )
 
     def fallback():

@@ -560,7 +560,12 @@ def _optics_fused_kernel(
     # 0/1 band matrix ([w_hi | w_lo] @ [M; M], one tiny bf16 matmul per term):
     # both the full-width hat arithmetic (4 ops x 32 vregs per term) and the
     # lane-broadcast expansion were measured VPU-bound; the MXU is idle here.
-    loc_bs = [loc1_ref[:].T, loc2_ref[:].T]  # (nbnd, B) tiles -> (B, nbnd)
+    # Both temperature halves stay M-stacked end-to-end: eta loc/cm, the hat
+    # expansion, and every accumulator are (2B, ·); halves are only split in
+    # the final ft-weighted combine. Halves the expand dispatches and the
+    # slicing work in the hot e loop.
+    loc_b2 = jnp.concatenate([loc1_ref[:].T, loc2_ref[:].T], axis=0)  # (2B, nbnd)
+    cm_b2 = jnp.concatenate([cm1_ref[:].T, cm2_ref[:].T], axis=0)
     m2 = m2_ref[:]
 
     def expand_mxu(v_band):
@@ -570,8 +575,11 @@ def _optics_fused_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    cm_gs = [expand_mxu(cm1_ref[:].T), expand_mxu(cm2_ref[:].T)]
+    cm_g2 = expand_mxu(cm_b2)  # (2B, npad)
     wts = (1.0 - ft, ft)
+
+    def combine(acc):  # ft-weighted merge of the M-stacked halves
+        return wts[0] * acc[:b] + wts[1] * acc[b:]
 
     dot = lambda a, k: jnp.dot(a, k, preferred_element_type=jnp.float32)
     if with_rayleigh:
@@ -582,8 +590,27 @@ def _optics_fused_kernel(
             [jnp.where(iota_r == qr + half, 1.0, 0.0) for half in (0, 1)], axis=0
         ).astype(jnp.bfloat16)
         w_ray = jnp.concatenate([w_ray1, w_ray1], axis=1)  # (2B, 2*ray_rows)
-    # minor contractions (small) run up front; chunks consumed in the e loop
-    rm_all = []
+
+    t_acc = jnp.zeros((2 * b, npad), jnp.float32)
+    p_acc = jnp.zeros((2 * b, npad), jnp.float32)
+    ray_acc = jnp.zeros((2 * b, npad), jnp.float32)
+    for e in range(n_eta):
+        r_e = dot(w_maj, kbuf[:, e * sw : (e + 1) * sw])  # (2B, sw)
+        w_e = expand_mxu(_hat(loc_b2, float(e)))          # (2B, npad)
+        t_acc = t_acc + r_e[:, :npad] * w_e
+        if n_tables == 2:
+            p_acc = p_acc + r_e[:, npad:] * w_e
+        if with_rayleigh:
+            rr_e = dot(w_ray, ray_stack[:, e * npad : (e + 1) * npad])
+            ray_acc = ray_acc + rr_e * w_e
+    tau = combine(cm_g2 * t_acc)
+    pfrac = combine(p_acc) if n_tables == 2 else jnp.zeros((b, npad), jnp.float32)
+    ray = combine(ray_acc) if with_rayleigh else jnp.zeros((b, npad), jnp.float32)
+
+    # minor groups: contract and eta-reduce one group at a time so only one
+    # (2B, neta*gp) result is ever live in VMEM (keeping all groups' results
+    # across the e loop blows scoped VMEM at 256-row blocks)
+    minor_pieces: dict = {}
     for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
         so = scal_offs[gi]
         wm = jnp.concatenate(
@@ -599,46 +626,14 @@ def _optics_fused_kernel(
             ],
             axis=0,
         )  # (2B, n_i * ntp)
-        rm_all.append(dot(_stack_w(wm), mk_stack[gi][:]))  # (2B, neta*gp)
-
-    t_acc = [jnp.zeros((b, npad), jnp.float32) for _ in (0, 1)]
-    p_acc = [jnp.zeros((b, npad), jnp.float32) for _ in (0, 1)]
-    ray_acc = [jnp.zeros((b, npad), jnp.float32) for _ in (0, 1)]
-    m_acc = [
-        [jnp.zeros((b, gpt_pad(g1 - g0)), jnp.float32) for _ in (0, 1)]
-        for (g0, g1, n_i, ibnd) in minor_groups
-    ]
-    for e in range(n_eta):
-        r_e = dot(w_maj, kbuf[:, e * sw : (e + 1) * sw])  # (2B, sw)
-        if with_rayleigh:
-            rr_e = dot(w_ray, ray_stack[:, e * npad : (e + 1) * npad])
-        for half in (0, 1):
-            w_e = expand_mxu(_hat(loc_bs[half], float(e)))  # (B, npad)
-            r_h = r_e[half * b : (half + 1) * b]
-            t_acc[half] = t_acc[half] + r_h[:, :npad] * w_e
-            if n_tables == 2:
-                p_acc[half] = p_acc[half] + r_h[:, npad:] * w_e
-            if with_rayleigh:
-                ray_acc[half] = ray_acc[half] + rr_e[half * b : (half + 1) * b] * w_e
-            for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
-                gp = gpt_pad(g1 - g0)
-                loc_col = loc_bs[half][:, ibnd : ibnd + 1]
-                m_acc[gi][half] = m_acc[gi][half] + rm_all[gi][
-                    half * b : (half + 1) * b, e * gp : (e + 1) * gp
-                ] * _hat(loc_col, float(e))
-    tau = wts[0] * cm_gs[0] * t_acc[0] + wts[1] * cm_gs[1] * t_acc[1]
-    if n_tables == 2:
-        pfrac = wts[0] * p_acc[0] + wts[1] * p_acc[1]
-    else:
-        pfrac = jnp.zeros((b, npad), jnp.float32)
-    if with_rayleigh:
-        ray = wts[0] * ray_acc[0] + wts[1] * ray_acc[1]
-    else:
-        ray = jnp.zeros((b, npad), jnp.float32)
-    minor_pieces: dict = {}
-    for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
+        rm = dot(_stack_w(wm), mk_stack[gi][:])  # (2B, neta*gp)
         ng = g1 - g0
-        contrib = wts[0] * m_acc[gi][0][:, :ng] + wts[1] * m_acc[gi][1][:, :ng]
+        gp = gpt_pad(ng)
+        loc_col = loc_b2[:, ibnd : ibnd + 1]
+        acc = jnp.zeros((2 * b, gp), jnp.float32)
+        for e in range(n_eta):
+            acc = acc + rm[:, e * gp : (e + 1) * gp] * _hat(loc_col, float(e))
+        contrib = combine(acc)[:, :ng]
         key = (g0, g1)
         minor_pieces[key] = (
             contrib if key not in minor_pieces else minor_pieces[key] + contrib

@@ -19,12 +19,14 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_interp import _expand_bands, gpt_pad
+from .pallas_interp import _expand_bands, _split_hi_lo, gpt_pad
 
 
 def _interpret() -> bool:
@@ -504,35 +506,42 @@ def _lw_noscat_banded_kernel(
     plk_lev_ref,                      # (nlev, B, NBP)
     plk_sfc_ref, emis_ref,            # (B, NBP)
     inc_ref,                          # (B, G)
+    m2_ref,                           # (2*NBP, G) 0/1 band matrix [M; M]
     up_ref, dn_ref,                   # (B, nlev) outputs: g-point-summed fluxes
-    lay_src, lev_src,                 # scratch (nlay, B, G), (nlev, B, G)
     up_acc, dn_acc,                   # scratch (nlev, B)
-    *, nlay: int, ds: float, w_mu: float, bnd_lims_gpt: tuple, gp: int,
+    *, nlay: int, ds: float, w_mu: float,
 ):
     """LW no-scat sweep with Planck-source construction fused in.
 
     The Planck sources (lay/lev/sfc, ref Optics.jl:228-248) are products of a
     per-BAND emission value and the per-g-point Planck fraction; materializing
     them in HBM costs three (nlay, ncol, ngpt) tensors of traffic. Here only
-    pfrac (one such tensor) and the tiny band arrays enter; sources are built
-    ONCE, vectorized over the whole vertical extent, into VMEM scratch (band
-    expansion = static lane broadcasts; level value = geometric mean
-    sqrt(pfrac_below * pfrac_above)), and the recurrences read scratch.
+    pfrac (one such tensor) and the tiny band arrays enter. Sources are built
+    PER STEP in registers: band->g-point expansion rides the MXU (hi/lo-split
+    value against the exact 0/1 band matrix — the lane-broadcast expansion
+    and the (nlay, B, G) source scratches of the previous version were the
+    kernel's VPU/VMEM bottleneck: 2x slower and capped at 16-column blocks).
+    Level value = geometric mean sqrt(pfrac_below * pfrac_above), boundary
+    levels clamp the neighbor index (sqrt(pf*pf) = pf reproduces the
+    reference's edge handling, ref Optics.jl:236-246).
     """
     eps = float(jnp.finfo(jnp.float32).eps)
     tau_thresh = 100.0 * eps
     i2f = float(jnp.pi) * w_mu
     f2i = 1.0 / i2f
-    expand = lambda v: _expand_bands(v, bnd_lims_gpt, gp)
+    m2 = m2_ref[:]
 
-    pf = pfrac_ref[:]
-    lay_src[:] = expand(plk_lay_ref[:]) * pf
-    lev_src[:] = expand(plk_lev_ref[:])
-    lev_src[0] = lev_src[0] * pf[0]
-    lev_src[1:nlay] = lev_src[1:nlay] * jnp.sqrt(pf[: nlay - 1] * pf[1:nlay])
-    lev_src[nlay] = lev_src[nlay] * pf[nlay - 1]
+    def expand(v):
+        v_hi, v_lo = _split_hi_lo(v)
+        return jnp.dot(
+            jnp.concatenate([v_hi, v_lo], axis=1), m2,
+            preferred_element_type=jnp.float32,
+        )
 
-    def srcs(ilay, lev_val):
+    def srcs(ilay, ilev, jnbr):
+        pf = pfrac_ref[ilay]
+        lev_val = expand(plk_lev_ref[ilev]) * jnp.sqrt(pf * pfrac_ref[jnbr])
+        lay_val = expand(plk_lay_ref[ilay]) * pf
         tau_loc = tau_ref[ilay] * ds
         trans = jnp.exp(-tau_loc)
         tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
@@ -541,7 +550,7 @@ def _lw_noscat_banded_kernel(
             (1.0 - trans) / tau_safe - trans,
             tau_loc * (0.5 + tau_loc * (-1.0 / 3.0 + tau_loc * 0.125)),
         )
-        return trans, (1.0 - trans) * lev_val + 2.0 * fact * (lay_src[ilay] - lev_val)
+        return trans, (1.0 - trans) * lev_val + 2.0 * fact * (lay_val - lev_val)
 
     # downward, TOA -> surface
     i_dn_top = inc_ref[:] * f2i
@@ -549,7 +558,7 @@ def _lw_noscat_banded_kernel(
 
     def down_step(i, carry):
         ilay = nlay - 1 - i
-        trans, s = srcs(ilay, lev_src[ilay])
+        trans, s = srcs(ilay, ilay, jnp.maximum(ilay - 1, 0))
         i_dn = trans * carry + s
         dn_acc[ilay] = jnp.sum(i_dn, axis=-1) * i2f
         return i_dn
@@ -557,12 +566,12 @@ def _lw_noscat_banded_kernel(
     i_dn_sfc = jax.lax.fori_loop(0, nlay, down_step, i_dn_top)
 
     emis = expand(emis_ref[:])
-    sfc_src = expand(plk_sfc_ref[:]) * pf[0]
+    sfc_src = expand(plk_sfc_ref[:]) * pfrac_ref[0]
     i_up = i_dn_sfc * (1.0 - emis) + emis * sfc_src
     up_acc[0] = jnp.sum(i_up, axis=-1) * i2f
 
     def up_step(ilay, carry):
-        trans, s = srcs(ilay, lev_src[ilay + 1])
+        trans, s = srcs(ilay, ilay + 1, jnp.minimum(ilay + 1, nlay - 1))
         i_up_n = trans * carry + s
         up_acc[ilay + 1] = jnp.sum(i_up_n, axis=-1) * i2f
         return i_up_n
@@ -589,7 +598,11 @@ def lw_noscat_banded_reduced(
     block_cols: int = 16,
 ):
     """Fused LW no-scat sweep with in-kernel Planck sources + spectral sum;
-    returns (flux_up, flux_dn), each (nlev, ncol)."""
+    returns (flux_up, flux_dn), each (nlev, ncol).
+
+    block_cols > 16 needs a raised scoped-VMEM limit (the tau/pfrac blocks
+    are (nlay, B, G) f32) — pass utils.compile.tpu_compiler_options() to the
+    enclosing jit; 128 measured ~2.5x faster than 16 at 8k columns."""
     nlay, ncol, ngpt = tau.shape
     nlev = nlay + 1
     gp = gpt_pad(ngpt)
@@ -602,6 +615,11 @@ def lw_noscat_banded_reduced(
         w[-2] = (0, cp)
         return jnp.pad(x.astype(jnp.float32), w)
 
+    m_np = np.zeros((nbp, gp), np.float32)
+    for i, (g0, g1) in enumerate(bnd_lims_gpt):
+        m_np[i, g0:g1] = 1.0
+    m2 = jnp.asarray(np.concatenate([m_np, m_np], axis=0), jnp.bfloat16)
+
     inc = (
         jnp.zeros((ncol, ngpt), jnp.float32) if inc_flux is None else inc_flux
     )
@@ -613,28 +631,27 @@ def lw_noscat_banded_reduced(
     col_spec = pl.BlockSpec((block_cols, gp), lambda c: (c, 0), memory_space=pltpu.VMEM)
     red_spec = pl.BlockSpec((block_cols, nlev), lambda c: (c, 0), memory_space=pltpu.VMEM)
 
+    full_spec = pl.BlockSpec(m2.shape, lambda c: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(
-            _lw_noscat_banded_kernel,
-            nlay=nlay, ds=ds, w_mu=w_mu, bnd_lims_gpt=bnd_lims_gpt, gp=gp,
-        ),
+        functools.partial(_lw_noscat_banded_kernel, nlay=nlay, ds=ds, w_mu=w_mu),
         interpret=_interpret(),
         grid=(ncp // block_cols,),
-        in_specs=[lay_spec, lay_spec, layb_spec, levb_spec, colb_spec, colb_spec, col_spec],
+        in_specs=[
+            lay_spec, lay_spec, layb_spec, levb_spec, colb_spec, colb_spec,
+            col_spec, full_spec,
+        ],
         out_specs=(red_spec, red_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((ncp, nlev), jnp.float32) for _ in range(2)
         ),
         scratch_shapes=[
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),
-            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
         ],
     )(
         padto(tau, gp), padto(pfrac, gp),
         padto(plk_lay, nbp), padto(plk_lev, nbp), padto(plk_sfc, nbp),
-        padto(sfc_emis, nbp), padto(inc, gp),
+        padto(sfc_emis, nbp), padto(inc, gp), m2,
     )
     return tuple(o[:ncol].T for o in out)
 
