@@ -213,7 +213,13 @@ def solve_lw(
             # emission values — never materialized at (nlay, ncol, ngpt)
             from ..ops.gas_optics_pallas import gas_optics_lw_raw as _pallas_lw_raw
 
-            raw = _pallas_lw_raw(lkp, pallas_tables, as_, windowed=pallas_windowed, window_size=pallas_window)
+            # clear-sky + aligned columns: keep g-point pad lanes (exact
+            # zeros) through to the sweep — skips slice+re-pad HBM round trips
+            kp = lkp_cld is None and lkp_aero is None and as_.ncol % 256 == 0
+            raw = _pallas_lw_raw(
+                lkp, pallas_tables, as_, windowed=pallas_windowed,
+                window_size=pallas_window, keep_padded=kp,
+            )
             optics = None
             tau = raw.tau
         else:
@@ -323,7 +329,14 @@ def solve_sw(
     if pallas_tables is not None:
         from ..ops.gas_optics_pallas import gas_optics_sw as _pallas_sw
 
-        optics = _pallas_sw(lkp, pallas_tables, as_, windowed=pallas_windowed, window_size=pallas_window)
+        kp = (
+            lkp_cld is None and lkp_aero is None and two_stream
+            and as_.ncol % 256 == 0
+        )
+        optics = _pallas_sw(
+            lkp, pallas_tables, as_, windowed=pallas_windowed,
+            window_size=pallas_window, keep_padded=kp,
+        )
     else:
         optics = gas_optics_sw(lkp, as_)
     tau = optics.tau

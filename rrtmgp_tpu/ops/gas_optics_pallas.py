@@ -441,7 +441,7 @@ def compute_min_window(lkp: GasLookup, as_: AtmosphericState) -> int:
 
 def _optics_fused_call(
     lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray,
-    windowed="auto", window_size=96,
+    windowed="auto", window_size=96, out_padded=False,
 ):
     """optics_fused when the window invariant holds; composed v1 path else.
 
@@ -469,7 +469,7 @@ def _optics_fused_call(
             bnd_lims_gpt=lkp.bnd_lims_gpt, n_tables=n_tables, window=window,
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=tables.minor_ntp, with_rayleigh=with_ray,
-            block_rows=block,
+            block_rows=block, out_padded=out_padded,
         )
 
     def fallback():
@@ -507,7 +507,13 @@ def _optics_fused_call(
                 tables.planck_hi, tables.planck_lo, lkp, pt2d, eta2d, q_major,
                 f32(pt2d.fpress), (ones, ones), windowed=False, block=block,
             )
-        return (tau.reshape(rows, lkp.n_gpt), second.reshape(rows, lkp.n_gpt))
+        tau2 = tau.reshape(rows, lkp.n_gpt)
+        sec2 = second.reshape(rows, lkp.n_gpt)
+        if out_padded:
+            gpad = pk.gpt_pad(lkp.n_gpt) - lkp.n_gpt
+            tau2 = jnp.pad(tau2, ((0, 0), (0, gpad)))
+            sec2 = jnp.pad(sec2, ((0, 0), (0, gpad)))
+        return (tau2, sec2)
 
     if windowed == "force":
         tau, second = fused()
@@ -515,7 +521,8 @@ def _optics_fused_call(
         tau, second = fallback()
     else:
         tau, second = jax.lax.cond(ok, fused, fallback)
-    shape3 = (nlay, ncol_pad, lkp.n_gpt)
+    ng = pk.gpt_pad(lkp.n_gpt) if out_padded else lkp.n_gpt
+    shape3 = (nlay, ncol_pad, ng)
     return tau.reshape(shape3), second.reshape(shape3)
 
 
@@ -569,12 +576,19 @@ class RawLWOptics(NamedTuple):
 def gas_optics_lw_raw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
+    keep_padded: bool = False,
 ) -> RawLWOptics:
-    """LW gas optics for the source-fused sweep: tau + pfrac + band Plancks."""
+    """LW gas optics for the source-fused sweep: tau + pfrac + band Plancks.
+
+    keep_padded (requires ncol % block == 0): tau/pfrac keep the g-point pad
+    lanes (exact zeros) so the sweep kernel consumes them directly — skips a
+    0.5 GB slice + re-pad round trip per tensor."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    if keep_padded:
+        assert ncol == ncol_pad, (ncol, ncol_pad)
     tau, pfrac = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=False,
-        windowed=windowed, window_size=window_size,
+        windowed=windowed, window_size=window_size, out_padded=keep_padded,
     )
     nlay = as_.nlay
     kw = dict(
@@ -589,8 +603,8 @@ def gas_optics_lw_raw(
     plk = pk.planck_band_pallas(t_all, tables.totplnk_hi, tables.totplnk_lo, **kw)
     n_lay, n_lev = nlay * ncol, (nlay + 1) * ncol
     return RawLWOptics(
-        tau=tau[:, :ncol, :],
-        pfrac=pfrac[:, :ncol, :],
+        tau=tau if keep_padded else tau[:, :ncol, :],
+        pfrac=pfrac if keep_padded else pfrac[:, :ncol, :],
         plk_lay=plk[:n_lay].reshape(nlay, ncol, -1),
         plk_lev=plk[n_lay : n_lay + n_lev].reshape(nlay + 1, ncol, -1),
         plk_sfc=plk[n_lay + n_lev :],
@@ -617,13 +631,19 @@ def gas_optics_lw(
 def gas_optics_sw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
+    keep_padded: bool = False,
 ) -> SWOptics:
-    """SW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_sw."""
-    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    """SW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_sw.
 
+    keep_padded: see gas_optics_lw_raw (pad-lane tau/ssa are exact zeros)."""
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    if keep_padded:
+        assert ncol == ncol_pad, (ncol, ncol_pad)
     tau, ssa = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=True,
-        windowed=windowed, window_size=window_size,
+        windowed=windowed, window_size=window_size, out_padded=keep_padded,
     )
     dtype = as_.p_lay.dtype
+    if keep_padded:
+        return SWOptics(tau=tau.astype(dtype), ssa=ssa.astype(dtype))
     return SWOptics(tau=tau[:, :ncol, :].astype(dtype), ssa=ssa[:, :ncol, :].astype(dtype))

@@ -659,6 +659,7 @@ def _optics_fused_kernel(
     static_argnames=(
         "n_temp", "n_eta", "n_gpt", "bnd_lims_gpt", "n_tables", "window",
         "minor_groups", "scal_offs", "minor_ntp", "with_rayleigh", "block_rows",
+        "out_padded",
     ),
 )
 def optics_fused(
@@ -681,8 +682,12 @@ def optics_fused(
     minor_ntp: int,
     with_rayleigh: bool,
     block_rows: int = 128,
+    out_padded: bool = False,
 ):
-    """Whole gas-optics in one kernel; returns (tau, pfrac|ssa), (rows, n_gpt)."""
+    """Whole gas-optics in one kernel; returns (tau, pfrac|ssa), (rows, n_gpt)
+    — or (rows, gpt_pad(n_gpt)) when out_padded (pad lanes are exact zeros:
+    the tables are zero-padded), letting clear-sky callers skip a 0.5 GB
+    slice + re-pad round trip into the sweep kernels."""
     nlay = q_base.shape[0]
     rows = pack.shape[1]
     ncol = rows // nlay
@@ -738,6 +743,8 @@ def optics_fused(
         ),
         interpret=jax.default_backend() != "tpu",
     )(q_base, *operands)
+    if out_padded:
+        return out
     return tuple(o[:, :n_gpt] for o in out)
 
 
