@@ -369,7 +369,7 @@ def solve_sw(
 
             flux_up, flux_dn, flux_dn_dir = sw_2stream_pallas_reduced(
                 tau, ssa, g_asym, mu0_b, toa_gpt, alb_dir, alb_dif,
-                bcs.inc_flux_diffuse, block_cols=min(pallas_sweep_cols, 64),
+                bcs.inc_flux_diffuse, block_cols=pallas_sweep_cols,
             )
         else:
             g_arr = jnp.zeros_like(tau) if g_asym is None else g_asym

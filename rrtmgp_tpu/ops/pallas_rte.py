@@ -284,6 +284,120 @@ def _sw_sweep_reduced_kernel(
     dir_ref[:] = jnp.sum(dirf[:], axis=-1).T
 
 
+def _sw_sweep_reduced_stream_kernel(
+    tau_hbm, ssa_hbm, *rest,
+    nlay: int, has_g: bool, block_cols: int,
+):
+    """Streamed SW reduced sweep for large column blocks.
+
+    tau/ssa(/g) stay in HBM (ANY memory space) and stream through a 2-slot
+    ring buffer, one layer slab per step with depth-1 prefetch — the
+    auto-pipelined (nlay, B, G) operand blocks double-buffered by pallas_call
+    cap B at 64 within VMEM; streaming runs B=128 (2x fewer, 2x wider grid
+    steps). The two-stream coefficients are computed ONCE in the direct-beam
+    pass and cached in VMEM scratch for the bottom-up and top-down passes
+    (the non-streamed kernel recomputes them per pass)."""
+    idx = 1 if has_g else 0
+    g_hbm = rest[0] if has_g else None
+    (mu0_ref, toa_ref, adir_ref, adif_ref, incdif_ref,
+     up_ref, dn_ref, dir_ref,
+     rdir_s, tdir_s, rdif_s, tdif_s, dirf, albedo, src,
+     up_acc, dn_acc, bufs, sems) = rest[idx:]
+    nstream = 3 if has_g else 2
+    eps = float(jnp.finfo(jnp.float32).eps)
+    mu0 = mu0_ref[:]
+    mu0_safe = jnp.maximum(mu0, eps)
+    cb = pl.program_id(0) * block_cols
+    hbms = (tau_hbm, ssa_hbm) + ((g_hbm,) if has_g else ())
+
+    def copies(ilay, slot):
+        return [
+            pltpu.make_async_copy(
+                hbm.at[ilay, pl.ds(cb, block_cols)],
+                bufs.at[slot, j],
+                sems.at[slot, j],
+            )
+            for j, hbm in enumerate(hbms)
+        ]
+
+    def start(ilay, slot):
+        for cp in copies(ilay, slot):
+            cp.start()
+
+    def wait(ilay, slot):
+        for cp in copies(ilay, slot):
+            cp.wait()
+
+    # pass 1: direct beam TOA -> surface; coefficients computed and cached
+    dir_top = toa_ref[:] * mu0
+    dirf[nlay] = dir_top
+    start(nlay - 1, (nlay - 1) % 2)
+
+    def p1_step(i, carry):
+        ilay = nlay - 1 - i
+        slot = ilay % 2
+        wait(ilay, slot)
+
+        @pl.when(ilay >= 1)
+        def _prefetch():
+            start(ilay - 1, (ilay - 1) % 2)
+
+        tau = bufs[slot, 0]
+        ssa = bufs[slot, 1]
+        gv = bufs[slot, 2] if has_g else 0.0
+        Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, gv, mu0, eps)
+        rdir_s[ilay] = Rdir
+        tdir_s[ilay] = Tdir
+        rdif_s[ilay] = Rdif
+        tdif_s[ilay] = Tdif
+        d = carry * jnp.exp(-tau / mu0_safe)
+        dirf[ilay] = d
+        return d
+
+    jax.lax.fori_loop(0, nlay, p1_step, dir_top)
+
+    # pass 2: bottom-up albedo/src (coefficients from scratch)
+    albedo[0] = adif_ref[:]
+    src[0] = dirf[0] * adir_ref[:]
+
+    def up_step(ilay, carry):
+        alb_i, src_i = carry
+        Rdif = rdif_s[ilay]
+        Tdif = tdif_s[ilay]
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        d_above = dirf[ilay + 1]
+        alb_n = Rdif + Tdif * Tdif * alb_i * denom
+        src_n = rdir_s[ilay] * d_above + Tdif * denom * (
+            src_i + alb_i * tdir_s[ilay] * d_above
+        )
+        albedo[ilay + 1] = alb_n
+        src[ilay + 1] = src_n
+        return alb_n, src_n
+
+    jax.lax.fori_loop(0, nlay, up_step, (albedo[0], src[0]))
+
+    # pass 3: top-down diffuse flux + spectral reduction
+    fd_top = incdif_ref[:]
+    up_acc[nlay] = jnp.sum(fd_top * albedo[nlay] + src[nlay], axis=-1)
+    dn_acc[nlay] = jnp.sum(fd_top + dirf[nlay], axis=-1)
+
+    def down_step(i, carry):
+        ilay = nlay - 1 - i
+        alb_i = albedo[ilay]
+        src_i = src[ilay]
+        Rdif = rdif_s[ilay]
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        fd = (tdif_s[ilay] * carry + Rdif * src_i + tdir_s[ilay] * dirf[ilay + 1]) * denom
+        up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
+        dn_acc[ilay] = jnp.sum(fd + dirf[ilay], axis=-1)
+        return fd
+
+    jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    up_ref[:] = up_acc[:].T
+    dn_ref[:] = dn_acc[:].T
+    dir_ref[:] = jnp.sum(dirf[:], axis=-1).T
+
+
 @functools.partial(jax.jit, static_argnames=("block_cols",))
 def sw_2stream_pallas_reduced(
     tau: jax.Array,   # (nlay, ncol, ngpt) f32
@@ -322,6 +436,37 @@ def sw_2stream_pallas_reduced(
 
     has_g = g is not None
     lay_ops = [padg(tau), padg(ssa)] + ([padg(g)] if has_g else [])
+    if block_cols >= 32:
+        # streamed variant: tau/ssa(/g) stay in HBM, coefficients cached
+        nstream = len(lay_ops)
+        out = pl.pallas_call(
+            functools.partial(
+                _sw_sweep_reduced_stream_kernel,
+                nlay=nlay, has_g=has_g, block_cols=block_cols,
+            ),
+            interpret=_interpret(),
+            grid=(ncp // block_cols,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nstream
+            + [col_spec] * 5,
+            out_specs=(red_spec, red_spec, red_spec),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((ncp, nlev), jnp.float32) for _ in range(3)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nlay, block_cols, gp), jnp.float32) for _ in range(4)
+            ]
+            + [pltpu.VMEM((nlev, block_cols, gp), jnp.float32) for _ in range(3)]
+            + [pltpu.VMEM((nlev, block_cols), jnp.float32) for _ in range(2)]
+            + [
+                pltpu.VMEM((2, nstream, block_cols, gp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, nstream)),
+            ],
+        )(
+            *lay_ops,
+            padg(mu0), padg(toa_flux), padg(sfc_alb_direct), padg(sfc_alb_diffuse),
+            padg(inc),
+        )
+        return tuple(o[:ncol].T for o in out)
     out = pl.pallas_call(
         functools.partial(_sw_sweep_reduced_kernel, nlay=nlay, has_g=has_g),
         interpret=_interpret(),

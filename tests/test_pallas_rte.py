@@ -121,3 +121,30 @@ def test_solver_pallas_rte_flag(lw):
         pal, _ = solve_sw(lkp, atm, bcs, pallas_rte=True)
     for a, b in zip(ref, pal):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-3 * float(jnp.max(jnp.abs(a)) + 1e-9))
+
+
+def test_sw_reduced_streamed_matches_blocked():
+    """Streamed (block>=32) and auto-pipelined SW reduced sweeps agree."""
+    import numpy as np
+    from rrtmgp_tpu.ops import pallas_rte as prte
+
+    rng = np.random.default_rng(0)
+    nlay, ncol, ngpt = 7, 64, 40
+    tau = jnp.asarray(rng.uniform(0.01, 2.0, (nlay, ncol, ngpt)), jnp.float32)
+    ssa = jnp.asarray(rng.uniform(0.0, 0.9, (nlay, ncol, ngpt)), jnp.float32)
+    g = jnp.asarray(rng.uniform(0.0, 0.8, (nlay, ncol, ngpt)), jnp.float32)
+    mu0 = jnp.asarray(
+        rng.uniform(0.1, 1.0, (ncol, 1)) * np.ones((1, ngpt)), jnp.float32
+    )
+    toa = jnp.asarray(rng.uniform(100, 1400, (ncol, ngpt)), jnp.float32)
+    ad = jnp.full((ncol, ngpt), 0.3, jnp.float32)
+    af = jnp.full((ncol, ngpt), 0.2, jnp.float32)
+    for gg in (None, g):
+        a = jax.jit(lambda *x: prte.sw_2stream_pallas_reduced(*x, block_cols=16))(
+            tau, ssa, gg, mu0, toa, ad, af
+        )
+        b = jax.jit(lambda *x: prte.sw_2stream_pallas_reduced(*x, block_cols=32))(
+            tau, ssa, gg, mu0, toa, ad, af
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-6, atol=1e-3)
