@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import statistics
+from functools import partial
 import sys
 import time
 
@@ -56,12 +57,24 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
         sfc_alb_diffuse=jnp.full((14, ncol_pad), 0.2, jnp.float32),
     )
 
+    from rrtmgp_tpu.utils.compile import sweep_block_cols, tpu_compiler_options
+
     tabs_lw = tabs_sw = None
+    win_lw = win_sw = 96
     if jax.default_backend() == "tpu":
-        from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables
+        from rrtmgp_tpu.ops.gas_optics_pallas import (
+            build_pallas_tables,
+            compute_min_window,
+        )
 
         tabs_lw = build_pallas_tables(lkp_lw)
         tabs_sw = build_pallas_tables(lkp_sw)
+        win_lw = compute_min_window(lkp_lw, atm)
+        win_sw = compute_min_window(lkp_sw, atm)
+    copts = tpu_compiler_options()
+    scols = sweep_block_cols()
+    pk_lw = dict(pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols)
+    pk_sw = dict(pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols)
 
     lkp_cld_lw = lkp_cld_sw = None
     if mode == "allsky":
@@ -70,17 +83,17 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
 
     if mode == "clear":
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=copts)
         def f_lw(a, b):
             return solve_chunked(
-                lambda ac, bc: solve_lw(lkp_lw, ac, bc, pallas_tables=tabs_lw)[0],
+                lambda ac, bc: solve_lw(lkp_lw, ac, bc, **pk_lw)[0],
                 a, b, chunk,
             )
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=copts)
         def f_sw(a, b):
             return solve_chunked(
-                lambda ac, bc: solve_sw(lkp_sw, ac, bc, pallas_tables=tabs_sw)[0],
+                lambda ac, bc: solve_sw(lkp_sw, ac, bc, **pk_sw)[0],
                 a, b, chunk,
             )
 
@@ -90,22 +103,22 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
         mask_lw = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, 256)
         mask_sw = build_cloud_mask_mcica(jax.random.key(1), atm.cloud_state.cld_frac, 224)
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=copts)
         def f_lw(a, b, m):
             return solve_chunked(
                 lambda ac, bc, mc: solve_lw(
                     lkp_lw, ac, bc, two_stream=True, lkp_cld=lkp_cld_lw, cld_mask=mc,
-                    pallas_tables=tabs_lw,
+                    **pk_lw,
                 )[0],
                 a, b, chunk, cld_mask=m,
             )
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=copts)
         def f_sw(a, b, m):
             return solve_chunked(
                 lambda ac, bc, mc: solve_sw(
                     lkp_sw, ac, bc, lkp_cld=lkp_cld_sw, cld_mask=mc,
-                    pallas_tables=tabs_sw,
+                    **pk_sw,
                 )[0],
                 a, b, chunk, cld_mask=m,
             )

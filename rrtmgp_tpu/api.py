@@ -253,15 +253,27 @@ class RRTMGPSolver:
             self._sw_fn = jax.jit(partial(solve_gray_sw, two_stream=self.two_stream_sw))
             return
 
-        # Pallas kernel tables on TPU (fused MXU interpolation path)
+        # Pallas kernel tables on TPU (fused MXU interpolation path), plus the
+        # static perf knobs derived eagerly at init: the minimal table window
+        # for this atmosphere's p/t spread and the large sweep blocks enabled
+        # by the raised scoped-VMEM jit option. windowed stays "auto": if the
+        # host mutates the state beyond the initial window, the runtime cond
+        # falls back to the full-width kernel (correct, slower).
+        from .utils.compile import sweep_block_cols, tpu_compiler_options
+
         tabs_lw = tabs_sw = None
+        win_lw = win_sw = 96
         if jax.default_backend() == "tpu":
-            from .ops.gas_optics_pallas import build_pallas_tables
+            from .ops.gas_optics_pallas import build_pallas_tables, compute_min_window
 
             tabs_lw = build_pallas_tables(lk.lookup_lw)
             tabs_sw = build_pallas_tables(lk.lookup_sw)
+            win_lw = compute_min_window(lk.lookup_lw, self.as_)
+            win_sw = compute_min_window(lk.lookup_sw, self.as_)
         self._pallas_lw = tabs_lw
         self._pallas_sw = tabs_sw
+        copts = tpu_compiler_options()
+        scols = sweep_block_cols()
 
         lw_aero = lk.lookup_lw_aero if aero else None
         sw_aero = lk.lookup_sw_aero if aero else None
@@ -269,17 +281,17 @@ class RRTMGPSolver:
         def lw_clear(atm, bcs):
             return _solvers.solve_lw(
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
-                pallas_tables=tabs_lw,
+                pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols,
             )
 
         def sw_clear(atm, bcs):
             return _solvers.solve_sw(
                 lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw, lkp_aero=sw_aero,
-                pallas_tables=tabs_sw,
+                pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols,
             )
 
-        self._lw_clear = jax.jit(lw_clear)
-        self._sw_clear = jax.jit(sw_clear)
+        self._lw_clear = jax.jit(lw_clear, compiler_options=copts)
+        self._sw_clear = jax.jit(sw_clear, compiler_options=copts)
 
         if cloudy:
 
@@ -290,7 +302,8 @@ class RRTMGPSolver:
                 return _solvers.solve_lw(
                     lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw,
                     lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero, cld_mask=mask,
-                    pallas_tables=tabs_lw,
+                    pallas_tables=tabs_lw, pallas_window=win_lw,
+                    pallas_sweep_cols=scols,
                 )
 
             def sw_cloudy(atm, bcs, key):
@@ -300,11 +313,12 @@ class RRTMGPSolver:
                 return _solvers.solve_sw(
                     lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw,
                     lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero, cld_mask=mask,
-                    pallas_tables=tabs_sw,
+                    pallas_tables=tabs_sw, pallas_window=win_sw,
+                    pallas_sweep_cols=scols,
                 )
 
-            self._lw_cloudy = jax.jit(lw_cloudy)
-            self._sw_cloudy = jax.jit(sw_cloudy)
+            self._lw_cloudy = jax.jit(lw_cloudy, compiler_options=copts)
+            self._sw_cloudy = jax.jit(sw_cloudy, compiler_options=copts)
 
     def _mcica_key(self, wave: int):
         """Counter-based key derived from the step number: the reset_rng_seed

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from ..angular import angular_discretization
 from ..data.lookups import AerosolLookup, CloudLookup, GasLookup
 from ..ops import rte
-from ..ops.aerosol_optics import aerosol_optics_band
+from ..ops.aerosol_optics import aerosol_optics_bands
 from ..ops.cloud_optics import (
-    cloud_optics_band,
+    cloud_optics_bands,
     delta_scale,
     increment_2stream,
 )
@@ -119,10 +119,10 @@ def _add_cloud_all(lkp, lkp_cld, as_, tau, ssa, g_asym, cld_mask, delta_scaling)
     cld_mask: (nlay, ncol, ngpt) bool.
     """
     cs = as_.cloud_state
-    per_band = [cloud_optics_band(lkp_cld, cs, b) for b in range(lkp.n_bnd)]
-    tau_c = _bands_to_gpt(lkp, jnp.stack([p[0] for p in per_band], -1))  # (nlay, ncol, ngpt)
-    ssa_c = _bands_to_gpt(lkp, jnp.stack([p[1] for p in per_band], -1))
-    g_c = _bands_to_gpt(lkp, jnp.stack([p[2] for p in per_band], -1))
+    tau_b, ssa_b, g_b = cloud_optics_bands(lkp_cld, cs)  # (nlay, ncol, nbnd)
+    tau_c = _bands_to_gpt(lkp, tau_b)                    # (nlay, ncol, ngpt)
+    ssa_c = _bands_to_gpt(lkp, ssa_b)
+    g_c = _bands_to_gpt(lkp, g_b)
     if ssa is None:
         return tau + jnp.where(cld_mask, tau_c - ssa_c * tau_c, 0.0), None, None
     if delta_scaling:
@@ -141,10 +141,7 @@ def _add_aerosol_all(lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling, collec
     aero = as_.aerosol_state
     active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
 
-    per_band = [aerosol_optics_band(lkp_aero, aero, as_.rel_hum, b) for b in range(lkp.n_bnd)]
-    t_b = jnp.stack([p[0] for p in per_band], -1)    # (nlay, ncol, nbnd)
-    ts_b = jnp.stack([p[1] for p in per_band], -1)
-    tsg_b = jnp.stack([p[2] for p in per_band], -1)
+    t_b, ts_b, tsg_b = aerosol_optics_bands(lkp_aero, aero, as_.rel_hum)
     t_b = jnp.where(active[..., None], t_b, 0.0)
     ts_b = jnp.where(active[..., None], ts_b, 0.0)
     tsg_b = jnp.where(active[..., None], tsg_b, 0.0)
@@ -264,12 +261,21 @@ def solve_lw(
 
     sfc_emis = _bands_to_gpt(lkp, bcs.sfc_emis.T)  # (ncol, ngpt)
     if two_stream:
-        up, dn = rte.lw_2stream(
-            tau, ssa, g_asym, optics.sources.lev_source,
-            optics.sources.sfc_source, sfc_emis, inc,
-        )
-        flux_up = jnp.sum(up, axis=-1)
-        flux_dn = jnp.sum(dn, axis=-1)
+        if pallas_rte:
+            from ..ops.pallas_rte import lw_2stream_pallas_reduced
+
+            flux_up, flux_dn = lw_2stream_pallas_reduced(
+                tau, ssa, g_asym, optics.sources.lev_source,
+                optics.sources.sfc_source, sfc_emis, inc,
+                block_cols=pallas_sweep_cols,
+            )
+        else:
+            up, dn = rte.lw_2stream(
+                tau, ssa, g_asym, optics.sources.lev_source,
+                optics.sources.sfc_source, sfc_emis, inc,
+            )
+            flux_up = jnp.sum(up, axis=-1)
+            flux_dn = jnp.sum(dn, axis=-1)
     elif pallas_rte:
         from ..ops.pallas_rte import lw_noscat_pallas_reduced
 

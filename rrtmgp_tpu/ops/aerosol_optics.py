@@ -131,3 +131,84 @@ def aerosol_optics_band(lkp: AerosolLookup, aero: AerosolState, rel_hum: jax.Arr
     add(_accum(vals, m), m > 0.0)
 
     return tau, tau_ssa, tau_ssag
+
+
+def _dot_h(w, lut2):
+    return jax.lax.dot_general(
+        w, lut2, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def aerosol_optics_bands(lkp: AerosolLookup, aero: AerosolState, rel_hum: jax.Array):
+    """Cumulative aerosol (tau, tau*ssa, tau*ssa*g) for ALL bands at once,
+    each (nlay, ncol, nbnd).
+
+    One-hot-matmul formulation of compute_lookup_aerosol
+    (ref aerosol_optics.jl:121-185): pointwise gathers of the tiny MERRA
+    tables with (nlay, ncol) dynamic indices lower to scalar loops on TPU
+    (~6 ms each; dozens per band made the aerosol path dominate all-sky
+    solves). RH and size-bin lookups become (rows, n) interpolation-weight
+    matrices contracted against (n, 3*nbnd) table views — one matmul per
+    species family fetches every band and property."""
+    dtype = rel_hum.dtype
+    nlay, ncol = rel_hum.shape
+    rows = nlay * ncol
+    nbnd = lkp.dust.shape[-1]
+    mass = aero.aero_mass
+    size = aero.aero_size
+
+    loc, factor = _rh_loc_factor(lkp.rh_levels, rel_hum)
+    nrh = lkp.rh_levels.shape[0]
+    locf = loc.reshape(-1, 1)
+    facf = factor.reshape(-1, 1).astype(dtype)
+    iota_rh = jnp.arange(nrh, dtype=jnp.int32)
+    w_rh = jnp.where(iota_rh == locf, 1.0 - facf, 0.0) + jnp.where(
+        iota_rh == locf + 1, facf, 0.0
+    )  # (rows, nrh)
+
+    nbin = lkp.size_bin_limits.shape[1]
+    iota_bin = jnp.arange(nbin, dtype=jnp.int32)
+
+    tau = jnp.zeros((nlay, ncol, nbnd), dtype)
+    tau_ssa = jnp.zeros_like(tau)
+    tau_ssag = jnp.zeros_like(tau)
+
+    def lut2(t):  # (3, n, nbnd) -> (n, 3*nbnd)
+        return jnp.moveaxis(t.astype(dtype), 0, 1).reshape(t.shape[1], 3 * nbnd)
+
+    def add(vals3, m):
+        # vals3: (rows, 3*nbnd) -> masked accumulate of tau / tau*ssa / tau*ssa*g
+        nonlocal tau, tau_ssa, tau_ssag
+        v = vals3.reshape(nlay, ncol, 3, nbnd)
+        mm = m[:, :, None]
+        t = jnp.where(mm > 0.0, mm * v[:, :, 0], 0.0)
+        ts = t * v[:, :, 1]
+        tau += t
+        tau_ssa += ts
+        tau_ssag += ts * v[:, :, 2]
+
+    dust2 = lut2(lkp.dust)
+    for i in DUST_IDXS:
+        bin_ = _locate_size_bin(lkp.size_bin_limits, size[i]).reshape(-1, 1)
+        w_bin = (iota_bin == bin_).astype(dtype)
+        add(_dot_h(w_bin, dust2), mass[i])
+
+    ss2 = jnp.moveaxis(lkp.sea_salt.astype(dtype), 0, 2).reshape(nrh * nbin, 3 * nbnd)
+    for i in SALT_IDXS:
+        bin_ = _locate_size_bin(lkp.size_bin_limits, size[i]).reshape(-1, 1)
+        w_bin = (iota_bin == bin_).astype(dtype)
+        w_joint = (w_rh[:, :, None] * w_bin[:, None, :]).reshape(rows, nrh * nbin)
+        add(_dot_h(w_joint, ss2), mass[i])
+
+    add(_dot_h(w_rh, lut2(lkp.sulfate)), mass[SULFATE_IDX])
+    add(_dot_h(w_rh, lut2(lkp.black_carbon_rh)), mass[BC_RH_IDX])
+    add(_dot_h(w_rh, lut2(lkp.organic_carbon_rh)), mass[OC_RH_IDX])
+
+    # hydrophobic BC/OC: band vectors, no per-cell lookup
+    for tbl, idx in ((lkp.black_carbon, BC_IDX), (lkp.organic_carbon, OC_IDX)):
+        v = jnp.broadcast_to(
+            tbl.astype(dtype).reshape(1, 3 * nbnd), (rows, 3 * nbnd)
+        )
+        add(v, mass[idx])
+
+    return tau, tau_ssa, tau_ssag

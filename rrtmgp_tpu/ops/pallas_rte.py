@@ -645,6 +645,197 @@ def lw_noscat_pallas_reduced(
     return tuple(o[:ncol].T for o in out)
 
 
+def _lw_2stream_reduced_kernel(
+    tau_hbm, ssa_hbm, g_hbm, lev_hbm,          # ANY: (nlay|nlev, ncp, G)
+    sfc_src_ref, emis_ref, inc_ref,            # (B, G)
+    up_ref, dn_ref,                            # (B, nlev) outputs (reduced)
+    rdif_s, tdif_s, srcdn_s,                   # scratch (nlay, B, G)
+    albedo, src,                               # scratch (nlev, B, G)
+    up_acc, dn_acc,                            # scratch (nlev, B)
+    bufs, lev0_buf, sems, lev0_sem,            # stream ring + lev[0] buffer
+    *, nlay: int, block_cols: int,
+):
+    """LW two-stream adding/doubling with in-kernel spectral reduction.
+
+    Same math as ops.rte.lw_2stream (Meador-Weaver Rdif/Tdif + Toon linear-
+    in-tau sources, Shonk-Hogan adding; ref longwave2stream.jl:110-253).
+    Structure mirrors _sw_sweep_reduced_stream_kernel: tau/ssa/g/lev_source
+    stream through a 2-slot ring (the four (nlay, B, G) operand blocks would
+    blow VMEM at useful block sizes), coefficients are computed once in the
+    bottom-up pass and cached for the top-down flux pass. The bottom-up pass
+    consumes lev_source[ilay] (carried) and lev_source[ilay+1] (streamed,
+    offset +1 from the tau/ssa/g slabs).
+    """
+    eps = float(jnp.finfo(jnp.float32).eps)
+    k_min = eps ** 0.5
+    tau_thresh = 100.0 * eps
+    lw_diff_sec = 1.66
+    pi = float(jnp.pi)
+    cb = pl.program_id(0) * block_cols
+    hbms = (tau_hbm, ssa_hbm, g_hbm)
+
+    def copies(step, slot):
+        cps = [
+            pltpu.make_async_copy(
+                hbm.at[step, pl.ds(cb, block_cols)],
+                bufs.at[slot, j],
+                sems.at[slot, j],
+            )
+            for j, hbm in enumerate(hbms)
+        ]
+        cps.append(
+            pltpu.make_async_copy(
+                lev_hbm.at[step + 1, pl.ds(cb, block_cols)],
+                bufs.at[slot, 3],
+                sems.at[slot, 3],
+            )
+        )
+        return cps
+
+    def start(step, slot):
+        for cp in copies(step, slot):
+            cp.start()
+
+    def wait(step, slot):
+        for cp in copies(step, slot):
+            cp.wait()
+
+    # prologue: lev_source[0] (surface level) + first slab set
+    cp0 = pltpu.make_async_copy(
+        lev_hbm.at[0, pl.ds(cb, block_cols)], lev0_buf, lev0_sem
+    )
+    cp0.start()
+    cp0.wait()
+    start(0, 0)
+
+    emis = emis_ref[:]
+    albedo[0] = 1.0 - emis
+    src[0] = pi * emis * sfc_src_ref[:]
+
+    def up_step(ilay, carry):
+        alb_i, src_i, lev_bot = carry
+        slot = ilay % 2
+        wait(ilay, slot)
+
+        @pl.when(ilay + 1 < nlay)
+        def _prefetch():
+            start(ilay + 1, (ilay + 1) % 2)
+
+        tau = bufs[slot, 0]
+        ssa = bufs[slot, 1]
+        g = bufs[slot, 2]
+        lev_top = bufs[slot, 3]
+
+        gamma1 = lw_diff_sec * (1.0 - 0.5 * ssa * (1.0 + g))
+        gamma2 = lw_diff_sec * 0.5 * ssa * (1.0 - g)
+        k = jnp.sqrt(jnp.maximum((gamma1 + gamma2) * (gamma1 - gamma2), k_min))
+        ektau = jnp.exp(-tau * k)
+        coeff = ektau * ektau
+        rt = 1.0 / (k * (1.0 + coeff) + gamma1 * (1.0 - coeff))
+        Rdif = rt * gamma2 * (1.0 - coeff)
+        Tdif = rt * 2.0 * k * ektau
+        big = tau > tau_thresh
+        tau_safe = jnp.where(big, tau, 1.0)
+        Z = (lev_bot - lev_top) / (tau_safe * (gamma1 + gamma2))
+        src_up = jnp.where(
+            big, pi * (Z + lev_top - Rdif * (lev_top - Z) - Tdif * (Z + lev_bot)), 0.0
+        )
+        src_dn = jnp.where(
+            big, pi * (lev_bot - Z - Rdif * (Z + lev_bot) - Tdif * (lev_top - Z)), 0.0
+        )
+        rdif_s[ilay] = Rdif
+        tdif_s[ilay] = Tdif
+        srcdn_s[ilay] = src_dn
+
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        alb_n = Rdif + Tdif * Tdif * alb_i * denom
+        src_n = src_up + Tdif * denom * (src_i + alb_i * src_dn)
+        albedo[ilay + 1] = alb_n
+        src[ilay + 1] = src_n
+        return alb_n, src_n, lev_top
+
+    jax.lax.fori_loop(0, nlay, up_step, (albedo[0], src[0], lev0_buf[:]))
+
+    # top-down diffuse flux + spectral reduction
+    fd_top = inc_ref[:]
+    up_acc[nlay] = jnp.sum(fd_top * albedo[nlay] + src[nlay], axis=-1)
+    dn_acc[nlay] = jnp.sum(fd_top, axis=-1)
+
+    def down_step(i, carry):
+        ilay = nlay - 1 - i
+        alb_i = albedo[ilay]
+        src_i = src[ilay]
+        Rdif = rdif_s[ilay]
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        fd = (tdif_s[ilay] * carry + Rdif * src_i + srcdn_s[ilay]) * denom
+        up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
+        dn_acc[ilay] = jnp.sum(fd, axis=-1)
+        return fd
+
+    jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    up_ref[:] = up_acc[:].T
+    dn_ref[:] = dn_acc[:].T
+
+
+@functools.partial(jax.jit, static_argnames=("block_cols",))
+def lw_2stream_pallas_reduced(
+    tau: jax.Array,          # (nlay, ncol, ngpt)
+    ssa: jax.Array,
+    g: jax.Array,
+    lev_source: jax.Array,   # (nlev, ncol, ngpt)
+    sfc_source: jax.Array,   # (ncol, ngpt)
+    sfc_emis: jax.Array,     # (ncol, ngpt)
+    inc_flux: jax.Array | None = None,
+    block_cols: int = 128,
+):
+    """Fused LW two-stream sweep + spectral sum; returns (flux_up, flux_dn),
+    each (nlev, ncol). Needs utils.compile.tpu_compiler_options() on the
+    enclosing jit at block_cols >= 64 (VMEM scratches)."""
+    nlay, ncol, ngpt = tau.shape
+    nlev = nlay + 1
+    gp = gpt_pad(ngpt)
+    cp = -ncol % block_cols
+
+    def padg(x):
+        w = [(0, 0)] * x.ndim
+        w[-1] = (0, gp - x.shape[-1])
+        w[-2] = (0, cp)
+        return jnp.pad(x.astype(jnp.float32), w)
+
+    inc = jnp.zeros_like(sfc_source) if inc_flux is None else inc_flux
+    ncp = ncol + cp
+    col_spec = pl.BlockSpec((block_cols, gp), lambda c: (c, 0), memory_space=pltpu.VMEM)
+    red_spec = pl.BlockSpec((block_cols, nlev), lambda c: (c, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _lw_2stream_reduced_kernel, nlay=nlay, block_cols=block_cols
+        ),
+        interpret=_interpret(),
+        grid=(ncp // block_cols,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + [col_spec] * 3,
+        out_specs=(red_spec, red_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((ncp, nlev), jnp.float32) for _ in range(2)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32) for _ in range(3)
+        ]
+        + [pltpu.VMEM((nlev, block_cols, gp), jnp.float32) for _ in range(2)]
+        + [pltpu.VMEM((nlev, block_cols), jnp.float32) for _ in range(2)]
+        + [
+            pltpu.VMEM((2, 4, block_cols, gp), jnp.float32),
+            pltpu.VMEM((block_cols, gp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(
+        padg(tau), padg(ssa), padg(g), padg(lev_source),
+        padg(sfc_source), padg(sfc_emis), padg(inc),
+    )
+    return tuple(o[:ncol].T for o in out)
+
+
 def _lw_noscat_banded_kernel(
     tau_ref, pfrac_ref,               # (nlay, B, G)
     plk_lay_ref,                      # (nlay, B, NBP)

@@ -148,3 +148,27 @@ def test_sw_reduced_streamed_matches_blocked():
         )
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-6, atol=1e-3)
+
+
+def test_lw_2stream_reduced_matches_xla():
+    """Streamed LW two-stream Pallas sweep vs ops.rte.lw_2stream."""
+    import numpy as np
+    from rrtmgp_tpu.ops import rte
+    from rrtmgp_tpu.ops.pallas_rte import lw_2stream_pallas_reduced
+
+    rng = np.random.default_rng(3)
+    nlay, ncol, ngpt = 6, 64, 24
+    tau = jnp.asarray(rng.uniform(0.01, 3.0, (nlay, ncol, ngpt)), jnp.float32)
+    ssa = jnp.asarray(rng.uniform(0.0, 0.9, (nlay, ncol, ngpt)), jnp.float32)
+    g = jnp.asarray(rng.uniform(0.0, 0.8, (nlay, ncol, ngpt)), jnp.float32)
+    lev = jnp.asarray(rng.uniform(5, 80, (nlay + 1, ncol, ngpt)), jnp.float32)
+    sfc = jnp.asarray(rng.uniform(20, 120, (ncol, ngpt)), jnp.float32)
+    emis = jnp.full((ncol, ngpt), 0.95, jnp.float32)
+
+    up_x, dn_x = jax.jit(rte.lw_2stream)(tau, ssa, g, lev, sfc, emis)
+    fu_x, fd_x = jnp.sum(up_x, -1), jnp.sum(dn_x, -1)
+    fu_p, fd_p = jax.jit(
+        lambda *a: lw_2stream_pallas_reduced(*a, block_cols=32)
+    )(tau, ssa, g, lev, sfc, emis)
+    np.testing.assert_allclose(np.asarray(fu_p), np.asarray(fu_x), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fd_p), np.asarray(fd_x), rtol=2e-5, atol=1e-3)
