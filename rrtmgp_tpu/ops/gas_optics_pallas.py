@@ -64,7 +64,9 @@ class PallasGasTables:
     rayl_lo: jax.Array | None
     minor_hi: tuple   # one stacked array per group
     minor_lo: tuple
-    minor_stack: tuple            # per group [hi; lo; hi] rows (stacked matmul)
+    minor_stack: tuple            # per group [hi; lo; hi] rows (stacked matmul),
+                                  # eta-slab LANE-PACKED (see _minor_emajor_packed)
+    minor_proj: tuple             # per group [P; P] 0/1 eta-sum projection
     ray_stack: jax.Array | None   # [hi; lo] rows
     fused_hi: jax.Array | None
     fused_lo: jax.Array | None
@@ -90,6 +92,57 @@ def _minor_emajor(kminor, itv):
     hi = k2.astype(jnp.bfloat16)
     lo = (k2 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def minor_pack_factor(ng: int, n_eta: int) -> int:
+    """Eta slabs packed per 128-lane tile for a width-ng minor group."""
+    assert ng <= 128, ng
+    return min(max(128 // ng, 1), n_eta)
+
+
+def _minor_emajor_packed(kminor, itv, n_eta):
+    """Interval rows packed s-eta-slabs-per-lane-tile: (ntemp_pad16, wp).
+
+    Minor g-point ranges are band-width (~16), so the plain e-major layout
+    wastes 7/8 of every 128-lane tile; packing s = 128//ng eta slabs per tile
+    cuts the minor contraction width (and its MXU passes) by ~s/9*9x. Lane
+    (t*128 + j*ng + g) holds K[eta = t*s + j, g]."""
+    ng = itv.gpt1 - itv.gpt0
+    s = minor_pack_factor(ng, n_eta)
+    ntile = -(-n_eta // s)
+    krows = kminor[itv.k0 : itv.k0 + ng]                  # (ng, nt, neta)
+    k3 = jnp.transpose(jnp.asarray(krows, jnp.float32), (1, 2, 0))  # (nt, neta, ng)
+    nt = k3.shape[0]
+    if ntile * s != n_eta:
+        k3 = jnp.pad(k3, ((0, 0), (0, ntile * s - n_eta), (0, 0)))
+    k4 = k3.reshape(nt, ntile, s * ng)
+    if s * ng != 128:
+        k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, 128 - s * ng)))
+    k2 = k4.reshape(nt, ntile * 128)
+    pad = (-nt) % 16
+    if pad:
+        k2 = jnp.concatenate([k2, jnp.zeros((pad, k2.shape[1]), k2.dtype)], axis=0)
+    hi = k2.astype(jnp.bfloat16)
+    lo = (k2 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _minor_proj(ng: int, n_eta: int) -> jax.Array:
+    """Static 0/1 projection (2*wp, gpt_pad(ng)) bf16, [P; P] stacked for
+    hi/lo-split inputs: sums a packed (2B, wp) minor result over its eta
+    slabs back to g-points."""
+    s = minor_pack_factor(ng, n_eta)
+    ntile = -(-n_eta // s)
+    wp = ntile * 128
+    p = np.zeros((wp, pk.gpt_pad(ng)), np.float32)
+    for t in range(ntile):
+        for j in range(s):
+            e = t * s + j
+            if e >= n_eta:
+                break
+            for g in range(ng):
+                p[t * 128 + j * ng + g, g] = 1.0
+    return jnp.asarray(np.concatenate([p, p], axis=0), jnp.bfloat16)
 
 
 def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
@@ -131,10 +184,21 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
             groups[key][1].append(hi)
             groups[key][2].append(lo)
     group_meta, group_hi, group_lo = [], [], []
+    group_stack, group_proj = [], []
     for (g0, g1), (entries, his, los) in sorted(groups.items()):
         group_meta.append((g0, g1, tuple(entries)))
         group_hi.append(jnp.concatenate(his, axis=0))
         group_lo.append(jnp.concatenate(los, axis=0))
+        packed = [
+            _minor_emajor_packed(
+                lkp.kminor_lower if side == 0 else lkp.kminor_upper, itv, lkp.n_eta
+            )
+            for side, itv in entries
+        ]
+        phi = jnp.concatenate([h for h, _ in packed], axis=0)
+        plo = jnp.concatenate([l for _, l in packed], axis=0)
+        group_stack.append(pk.stack_table_rows(phi, plo))
+        group_proj.append(_minor_proj(g1 - g0, lkp.n_eta))
     if lkp.planck_fraction is not None:
         fused_hi, fused_lo = pk.merge_tables_emajor([lkp.kmajor, lkp.planck_fraction])
         fused_n = 2
@@ -158,9 +222,8 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         rayl_lo=rayl_lo,
         minor_hi=tuple(group_hi),
         minor_lo=tuple(group_lo),
-        minor_stack=tuple(
-            pk.stack_table_rows(hi, lo) for hi, lo in zip(group_hi, group_lo)
-        ),
+        minor_stack=tuple(group_stack),
+        minor_proj=tuple(group_proj),
         ray_stack=(
             None if rayl_hi is None else jnp.concatenate([rayl_hi, rayl_lo], axis=0)
         ),
@@ -464,7 +527,7 @@ def _optics_fused_call(
     def fused():
         return pk.optics_fused(
             tables.fused_hi, tables.fused_lo, tables.minor_stack,
-            tables.ray_stack, q_base, pack, eta_ops,
+            tables.minor_proj, tables.ray_stack, q_base, pack, eta_ops,
             n_temp=lkp.n_temp, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             bnd_lims_gpt=lkp.bnd_lims_gpt, n_tables=n_tables, window=window,
             minor_groups=groups_static, scal_offs=scal_offs,

@@ -502,6 +502,7 @@ def _optics_fused_kernel(
     n_groups = len(minor_groups)
     idx = 0
     mk_stack = rest[idx : idx + n_groups]; idx += n_groups
+    mk_proj = rest[idx : idx + n_groups]; idx += n_groups
     if with_rayleigh:
         ray_stack = rest[idx]; idx += 1
     out_a_ref = rest[idx]; out_b_ref = rest[idx + 1]; idx += 2
@@ -607,9 +608,11 @@ def _optics_fused_kernel(
     pfrac = combine(p_acc) if n_tables == 2 else jnp.zeros((b, npad), jnp.float32)
     ray = combine(ray_acc) if with_rayleigh else jnp.zeros((b, npad), jnp.float32)
 
-    # minor groups: contract and eta-reduce one group at a time so only one
-    # (2B, neta*gp) result is ever live in VMEM (keeping all groups' results
-    # across the e loop blows scoped VMEM at 256-row blocks)
+    # minor groups: contract against the eta-slab LANE-PACKED table (s = 128//ng
+    # slabs per tile — the plain e-major layout wasted 7/8 of each tile's
+    # lanes and MXU passes at band-width ng), weight by the hat built from a
+    # lane->eta iota map, and sum the slabs back to g-points with a tiny 0/1
+    # projection matmul.
     minor_pieces: dict = {}
     for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
         so = scal_offs[gi]
@@ -626,14 +629,20 @@ def _optics_fused_kernel(
             ],
             axis=0,
         )  # (2B, n_i * ntp)
-        rm = dot(_stack_w(wm), mk_stack[gi][:])  # (2B, neta*gp)
+        rm = dot(_stack_w(wm), mk_stack[gi][:])  # (2B, wp) packed
         ng = g1 - g0
-        gp = gpt_pad(ng)
+        s = min(max(128 // ng, 1), n_eta)
+        wp = rm.shape[1]
         loc_col = loc_b2[:, ibnd : ibnd + 1]
-        acc = jnp.zeros((2 * b, gp), jnp.float32)
-        for e in range(n_eta):
-            acc = acc + rm[:, e * gp : (e + 1) * gp] * _hat(loc_col, float(e))
-        contrib = combine(acc)[:, :ng]
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (2 * b, wp), 1)
+        lane = iota_l % 128
+        e_lane = (iota_l // 128) * s + lane // ng
+        valid = jnp.logical_and(lane < s * ng, e_lane < n_eta)
+        w = jnp.where(valid, _hat(loc_col, e_lane.astype(jnp.float32)), 0.0)
+        acc = rm * w
+        a_hi, a_lo = _split_hi_lo(acc)
+        summed = dot(jnp.concatenate([a_hi, a_lo], axis=1), mk_proj[gi][:])
+        contrib = combine(summed)[:, :ng]
         key = (g0, g1)
         minor_pieces[key] = (
             contrib if key not in minor_pieces else minor_pieces[key] + contrib
@@ -665,7 +674,9 @@ def _optics_fused_kernel(
 def optics_fused(
     k2_hi: jax.Array,
     k2_lo: jax.Array,
-    minor_stack: tuple,          # per group (3 * n_i * ntp, neta*gp) bf16 [hi;lo;hi]
+    minor_stack: tuple,          # per group (3 * n_i * ntp, wp) bf16 [hi;lo;hi],
+                                 # eta-slab lane-packed
+    minor_proj: tuple,           # per group (2*wp, gpt_pad(ng)) bf16 [P; P]
     ray_stack: jax.Array | None, # (2 * ray_rows, neta*npad) bf16 [hi;lo]
     q_base: jax.Array,
     pack: jax.Array,             # (npk_pad, rows) f32 TRANSPOSED scalar pack
@@ -717,8 +728,8 @@ def optics_fused(
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
         full(m2),
-    ] + [full(k) for k in minor_stack]
-    operands = [pack, *eta_ops, k2_hi, k2_lo, m2, *minor_stack]
+    ] + [full(k) for k in minor_stack] + [full(p) for p in minor_proj]
+    operands = [pack, *eta_ops, k2_hi, k2_lo, m2, *minor_stack, *minor_proj]
     if with_rayleigh:
         in_specs += [full(ray_stack)]
         operands += [ray_stack]
