@@ -27,6 +27,13 @@ CLEAR_NCOL = 90650   # ref clear_sky_dyamond_gpu_benchmark.jl:102
 ALLSKY_NCOL = 75748  # ref all_sky_with_aerosols_dyamond_gpu_benchmark.jl:114
 
 
+def pick_chunk(ncol: int, target: int) -> int:
+    """Largest chunk <= ~target (multiple of 256 for the padded-gpt handoff)
+    minimizing column padding: ceil(ncol / n_chunks) rounded up to 256."""
+    n_chunks = -(-ncol // target)
+    return -(-(-(-ncol // n_chunks)) // 256) * 256
+
+
 def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
     import jax
     import jax.numpy as jnp
@@ -146,8 +153,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="clear", choices=["clear", "allsky"])
     ap.add_argument("--ncol", type=int, default=None)
-    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--iters", type=int, default=10)
     a = ap.parse_args()
     ncol = a.ncol or (CLEAR_NCOL if a.mode == "clear" else ALLSKY_NCOL)
-    run(a.mode, ncol, a.chunk, n_iters=a.iters)
+    chunk = a.chunk or pick_chunk(ncol, 8192)
+    run(a.mode, ncol, chunk, n_iters=a.iters)
