@@ -603,15 +603,16 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac):
         t_delta=float(lkp.t_planck_delta),
     )
 
-    t_all = jnp.concatenate(
-        [as_.t_lay.reshape(-1), as_.t_lev.reshape(-1), as_.t_sfc.reshape(-1)]
+    # one kernel call per temperature field: slicing a merged call's output
+    # costs two ~250 MB copies (XLA slices materialize), more than the saved
+    # dispatches
+    bp = lambda t: pk.planck_band_pallas(
+        t.reshape(-1), tables.totplnk_hi, tables.totplnk_lo, **kw
     )
-    plk = pk.planck_band_pallas(t_all, tables.totplnk_hi, tables.totplnk_lo, **kw)
-    plk = jnp.take(plk, g2b, axis=-1).astype(dtype)
-    n_lay, n_lev = nlay * ncol, (nlay + 1) * ncol
-    planck_lay = plk[:n_lay].reshape(nlay, ncol, lkp.n_gpt)
-    planck_lev = plk[n_lay : n_lay + n_lev].reshape(nlay + 1, ncol, lkp.n_gpt)
-    planck_sfc = plk[n_lay + n_lev :]
+    take = lambda b: jnp.take(b, g2b, axis=-1).astype(dtype)
+    planck_lay = take(bp(as_.t_lay)).reshape(nlay, ncol, lkp.n_gpt)
+    planck_lev = take(bp(as_.t_lev)).reshape(nlay + 1, ncol, lkp.n_gpt)
+    planck_sfc = take(bp(as_.t_sfc))
 
     lay_source = planck_lay * pfrac
     lev0 = planck_lev[0] * pfrac[0]
@@ -659,18 +660,16 @@ def gas_optics_lw_raw(
         t_min=float(lkp.t_planck_min),
         t_delta=float(lkp.t_planck_delta),
     )
-    # one batched kernel call over lay+lev+sfc temperatures
-    t_all = jnp.concatenate(
-        [as_.t_lay.reshape(-1), as_.t_lev.reshape(-1), as_.t_sfc.reshape(-1)]
+    # one kernel call per temperature field (see _planck_sources_pallas)
+    bp = lambda t: pk.planck_band_pallas(
+        t.reshape(-1), tables.totplnk_hi, tables.totplnk_lo, **kw
     )
-    plk = pk.planck_band_pallas(t_all, tables.totplnk_hi, tables.totplnk_lo, **kw)
-    n_lay, n_lev = nlay * ncol, (nlay + 1) * ncol
     return RawLWOptics(
         tau=tau if keep_padded else tau[:, :ncol, :],
         pfrac=pfrac if keep_padded else pfrac[:, :ncol, :],
-        plk_lay=plk[:n_lay].reshape(nlay, ncol, -1),
-        plk_lev=plk[n_lay : n_lay + n_lev].reshape(nlay + 1, ncol, -1),
-        plk_sfc=plk[n_lay + n_lev :],
+        plk_lay=bp(as_.t_lay).reshape(nlay, ncol, -1),
+        plk_lev=bp(as_.t_lev).reshape(nlay + 1, ncol, -1),
+        plk_sfc=bp(as_.t_sfc),
     )
 
 
