@@ -222,7 +222,12 @@ def solve_lw(
         else:
             from ..ops.gas_optics_pallas import gas_optics_lw as _pallas_lw
 
-            optics = _pallas_lw(lkp, pallas_tables, as_, windowed=pallas_windowed, window_size=pallas_window)
+            optics = _pallas_lw(
+                lkp, pallas_tables, as_, windowed=pallas_windowed,
+                window_size=pallas_window,
+                # the Pallas 2-stream sweep uses only level sources
+                need_lay_source=not (two_stream and pallas_rte),
+            )
             tau = optics.tau
     else:
         optics = gas_optics_lw(lkp, as_)

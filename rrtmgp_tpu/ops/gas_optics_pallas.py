@@ -589,7 +589,7 @@ def _optics_fused_call(
     return tau.reshape(shape3), second.reshape(shape3)
 
 
-def _planck_sources_pallas(lkp, tables, as_, pfrac):
+def _planck_sources_pallas(lkp, tables, as_, pfrac, need_lay=True):
     """compute_planck_sources with the band interpolation in a Pallas kernel
     (the XLA one-hot matmul materializes a (rows, n_t_plnk) weight tensor —
     ~400 MB of HBM traffic at DYAMOND widths; in-kernel it never leaves
@@ -610,11 +610,16 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac):
         t.reshape(-1), tables.totplnk_hi, tables.totplnk_lo, **kw
     )
     take = lambda b: jnp.take(b, g2b, axis=-1).astype(dtype)
-    planck_lay = take(bp(as_.t_lay)).reshape(nlay, ncol, lkp.n_gpt)
     planck_lev = take(bp(as_.t_lev)).reshape(nlay + 1, ncol, lkp.n_gpt)
     planck_sfc = take(bp(as_.t_sfc))
 
-    lay_source = planck_lay * pfrac
+    # the two-stream solver's Toon sources use only LEVEL values
+    # (ref longwave2stream.jl:133-161); skip the (nlay, ncol, ngpt)
+    # lay_source tensor + its Planck kernel call when not needed
+    lay_source = None
+    if need_lay:
+        planck_lay = take(bp(as_.t_lay)).reshape(nlay, ncol, lkp.n_gpt)
+        lay_source = planck_lay * pfrac
     lev0 = planck_lev[0] * pfrac[0]
     interior = planck_lev[1:nlay] * jnp.sqrt(pfrac[:-1] * pfrac[1:])
     top = planck_lev[nlay] * pfrac[-1]
@@ -676,6 +681,7 @@ def gas_optics_lw_raw(
 def gas_optics_lw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
+    need_lay_source: bool = True,
 ) -> LWOptics:
     """LW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_lw."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
@@ -686,7 +692,9 @@ def gas_optics_lw(
     )
     tau = tau[:, :ncol, :]
     pfrac = pfrac[:, :ncol, :]
-    sources = _planck_sources_pallas(lkp, tables, as_, pfrac.astype(as_.p_lay.dtype))
+    sources = _planck_sources_pallas(
+        lkp, tables, as_, pfrac.astype(as_.p_lay.dtype), need_lay=need_lay_source
+    )
     return LWOptics(tau=tau.astype(as_.p_lay.dtype), sources=sources)
 
 
