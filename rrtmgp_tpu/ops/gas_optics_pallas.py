@@ -152,16 +152,16 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
     if lkp.planck_fraction is not None:
         planck_hi, planck_lo = pk.split_table_emajor(lkp.planck_fraction)
     if lkp.rayl is not None:
-        # (2, ngpt, ntemp, neta) -> rows (2*ntemp), e-major content, gpt-padded
+        # (2, ngpt, ntemp, neta) -> rows (2 tropo slabs x rows_per_slab),
+        # e-major content, gpt-padded; q_ray = tropo * rps + jtemp
         r = jnp.asarray(lkp.rayl, jnp.float32)
         k4 = jnp.transpose(r, (0, 2, 3, 1))  # (2, nt, neta, ngpt)
         ngp = pk.gpt_pad(lkp.n_gpt)
-        if ngp != lkp.n_gpt:
-            k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, 0), (0, ngp - lkp.n_gpt)))
-        k2 = k4.reshape(2 * lkp.n_temp, -1)
-        pad = (-k2.shape[0]) % 16
-        if pad:
-            k2 = jnp.concatenate([k2, jnp.zeros((pad, k2.shape[1]), k2.dtype)], axis=0)
+        rps = pk.rows_per_slab(lkp.n_temp)
+        k4 = jnp.pad(
+            k4, ((0, 0), (0, rps - lkp.n_temp), (0, 0), (0, ngp - lkp.n_gpt))
+        )
+        k2 = k4.reshape(2 * rps, -1)
         rayl_hi = k2.astype(jnp.bfloat16)
         rayl_lo = (k2 - rayl_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -267,7 +267,7 @@ def _interp_table(
     nlay, ncol_pad = q2d.shape
     rows = nlay * ncol_pad
     kw = dict(
-        n_temp=lkp.n_temp,
+        n_temp=pk.rows_per_slab(lkp.n_temp),  # slab stride in the row layout
         n_eta=lkp.n_eta,
         n_gpt=lkp.n_gpt,
         bnd_lims_gpt=lkp.bnd_lims_gpt,
@@ -288,7 +288,9 @@ def _interp_table(
         f32(bt(cm_pair[1])),
     )
     if windowed:
-        q_base, ok = pk.window_bases(q2d, lkp.n_temp, tables_hi.shape[0], 96)
+        q_base, ok = pk.window_bases(
+            q2d, pk.rows_per_slab(lkp.n_temp), tables_hi.shape[0], 96
+        )
         out = jax.lax.cond(
             ok,
             lambda: pk.interp_pt_eta_windowed(
@@ -322,7 +324,7 @@ def _prep(lkp: GasLookup, as_: AtmosphericState, block: int):
     pt2d = PTInterp(*(padp(x) for x in pt))
     eta2d = EtaInterp(*(_pad_last(x, ncol_pad) for x in eta))
     f32 = lambda x: x.astype(jnp.float32)
-    q_major = pt2d.jpress_base * lkp.n_temp + pt2d.jtemp
+    q_major = pt2d.jpress_base * pk.rows_per_slab(lkp.n_temp) + pt2d.jtemp
     return pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad
 
 
@@ -447,7 +449,7 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
     c1 = lambda x: x.astype(dtype).reshape(1, rows)
     cb = lambda x: x.astype(dtype).reshape(-1, rows)
     if with_ray:
-        q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
+        q_ray = jnp.where(pt2d.tropo_lower, 0, pk.rows_per_slab(lkp.n_temp)) + pt2d.jtemp
         ray_cm = (vmr_h2o + 1.0) * col_dry
     else:
         q_ray = jnp.zeros_like(pt2d.jtemp)
@@ -489,14 +491,15 @@ def compute_min_window(lkp: GasLookup, as_: AtmosphericState) -> int:
     (or rely on windowed="auto"'s runtime fallback). Buckets are 8-row
     aligned (Mosaic DMA slice-shape requirement): 40 -> K=120 (one tile),
     80 -> K=240 (two), 128 -> K=384 (three)."""
+    rps = pk.rows_per_slab(lkp.n_temp)
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    q = pt.jpress_base * lkp.n_temp + pt.jtemp
+    q = pt.jpress_base * rps + pt.jtemp
     q_min = jnp.min(q, axis=1)
     q_max = jnp.max(q, axis=1)
-    base = (q_min // 16) * 16  # window_bases aligns bases down to 16
-    req = int(jnp.max(q_max + lkp.n_temp + 2 - base))
-    n_rows = (lkp.n_press + 1) * lkp.n_temp
-    for bucket in (40, 80, 128):
+    base = (q_min // 16) * 16  # = slab base: slabs are 16-aligned by layout
+    req = int(jnp.max(q_max + rps + 2 - base))
+    n_rows = (lkp.n_press + 1) * rps
+    for bucket in (32, 40, 48, 80, 128):
         if req <= bucket <= n_rows:
             return bucket
     return min(-(-req // 16) * 16, n_rows)
@@ -504,7 +507,7 @@ def compute_min_window(lkp: GasLookup, as_: AtmosphericState) -> int:
 
 def _optics_fused_call(
     lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray,
-    windowed="auto", window_size=96, out_padded=False,
+    windowed="auto", window_size=96, out_padded=False, eta_chunk=1,
 ):
     """optics_fused when the window invariant holds; composed v1 path else.
 
@@ -521,18 +524,20 @@ def _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray
     )
     window = min(window_size, tables.fused_hi.shape[0])
-    q_base, ok = pk.window_bases(q_major, lkp.n_temp, tables.fused_hi.shape[0], window)
+    q_base, ok = pk.window_bases(
+        q_major, pk.rows_per_slab(lkp.n_temp), tables.fused_hi.shape[0], window
+    )
     n_tables = tables.fused_n_tables
 
     def fused():
         return pk.optics_fused(
             tables.fused_hi, tables.fused_lo, tables.minor_stack,
             tables.minor_proj, tables.ray_stack, q_base, pack, eta_ops,
-            n_temp=lkp.n_temp, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
+            n_temp=pk.rows_per_slab(lkp.n_temp), n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             bnd_lims_gpt=lkp.bnd_lims_gpt, n_tables=n_tables, window=window,
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=tables.minor_ntp, with_rayleigh=with_ray,
-            block_rows=block, out_padded=out_padded,
+            block_rows=block, out_padded=out_padded, eta_chunk=eta_chunk,
         )
 
     def fallback():
@@ -554,7 +559,7 @@ def _optics_fused_call(
                 ((vmr_h2o + 1.0) * col_dry)[None],
                 (lkp.n_bnd, *col_dry.shape),
             )
-            q_ray = jnp.where(pt2d.tropo_lower, 0, lkp.n_temp) + pt2d.jtemp
+            q_ray = jnp.where(pt2d.tropo_lower, 0, pk.rows_per_slab(lkp.n_temp)) + pt2d.jtemp
             tau_ray = _interp_table(
                 tables.rayl_hi, tables.rayl_lo, lkp, pt2d, eta2d, q_ray,
                 jnp.zeros_like(f32(pt2d.fpress)), (ray_cm, ray_cm),
@@ -645,7 +650,7 @@ class RawLWOptics(NamedTuple):
 def gas_optics_lw_raw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
-    keep_padded: bool = False,
+    keep_padded: bool = False, eta_chunk: int = 1,
 ) -> RawLWOptics:
     """LW gas optics for the source-fused sweep: tau + pfrac + band Plancks.
 
@@ -658,6 +663,7 @@ def gas_optics_lw_raw(
     tau, pfrac = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=False,
         windowed=windowed, window_size=window_size, out_padded=keep_padded,
+        eta_chunk=eta_chunk,
     )
     nlay = as_.nlay
     kw = dict(
@@ -701,7 +707,7 @@ def gas_optics_lw(
 def gas_optics_sw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
-    keep_padded: bool = False,
+    keep_padded: bool = False, eta_chunk: int = 1,
 ) -> SWOptics:
     """SW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_sw.
 
@@ -712,6 +718,7 @@ def gas_optics_sw(
     tau, ssa = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=True,
         windowed=windowed, window_size=window_size, out_padded=keep_padded,
+        eta_chunk=eta_chunk,
     )
     dtype = as_.p_lay.dtype
     if keep_padded:

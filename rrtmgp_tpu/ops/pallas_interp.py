@@ -141,6 +141,15 @@ def gpt_pad(n_gpt: int) -> int:
     return -(-n_gpt // 128) * 128
 
 
+def rows_per_slab(n_temp: int) -> int:
+    """Table rows per pressure slab: the temperature axis padded to a 16-row
+    DMA tile. Slab starts are then always 16-aligned, so per-layer window
+    bases carry ZERO alignment slack (the old n_temp-packed layout wasted up
+    to 15 rows of window on base alignment, pushing the window into the next
+    MXU K-tile bucket). Combined row index: q = jpress_base * rps + jtemp."""
+    return -(-n_temp // 16) * 16
+
+
 def _band_matrix(bnd_lims_gpt, n_gpt):
     nbnd = len(bnd_lims_gpt)
     m_np = np.zeros((nbnd, gpt_pad(n_gpt)), np.float32)
@@ -300,19 +309,17 @@ def window_bases(q: jax.Array, n_temp: int, n_rows: int, window: int):
 def split_table_emajor(table) -> tuple[jax.Array, jax.Array]:
     """(ngpt, npress+1, ntemp, neta) table -> e-major 2D bf16 (hi, lo) parts.
 
-    Rows are zero-padded to a multiple of 16 so windowed-kernel DMA bases
-    stay tile-aligned after clamping.
+    The temperature axis is zero-padded to ``rows_per_slab`` (16) so every
+    pressure slab starts on a DMA-tile boundary; combined row index is
+    q = jpress * rps + jtemp.
     """
     ngpt, npp, nt, neta = table.shape
     npad = gpt_pad(ngpt)
+    rps = rows_per_slab(nt)
     arr = jnp.asarray(table, jnp.float32)
     k4 = jnp.transpose(arr, (1, 2, 3, 0))  # (npp, nt, neta, ngpt)
-    if npad != ngpt:
-        k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, 0), (0, npad - ngpt)))
-    k2 = k4.reshape(npp * nt, neta * npad)
-    pad = (-k2.shape[0]) % 16
-    if pad:
-        k2 = jnp.concatenate([k2, jnp.zeros((pad, k2.shape[1]), k2.dtype)], axis=0)
+    k4 = jnp.pad(k4, ((0, 0), (0, rps - nt), (0, 0), (0, npad - ngpt)))
+    k2 = k4.reshape(npp * rps, neta * npad)
     return _split_hi_lo(k2)
 
 
@@ -349,22 +356,20 @@ def _expand_bands(v, bnd_lims_gpt, npad):
 
 def merge_tables_emajor(tables) -> tuple[jax.Array, jax.Array]:
     """Merge (ngpt, npress+1, ntemp, neta) tables sharing the same rows into
-    one bf16 hi/lo pair with row content [e-major][table][gpt_pad]."""
+    one bf16 hi/lo pair with row content [e-major][table][gpt_pad]; temp axis
+    padded to rows_per_slab (see split_table_emajor)."""
     ngpt = tables[0].shape[0]
     npad = gpt_pad(ngpt)
+    nt = tables[0].shape[2]
+    rps = rows_per_slab(nt)
     parts = []
     for tb in tables:
         arr = jnp.asarray(tb, jnp.float32)
         k4 = jnp.transpose(arr, (1, 2, 3, 0))  # (npp, nt, neta, ngpt)
-        if npad != ngpt:
-            k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, 0), (0, npad - ngpt)))
+        k4 = jnp.pad(k4, ((0, 0), (0, rps - nt), (0, 0), (0, npad - ngpt)))
         parts.append(k4)
-    k5 = jnp.stack(parts, axis=3)  # (npp, nt, neta, n_tables, npad)
-    rows = k5.shape[0] * k5.shape[1]
-    k2 = k5.reshape(rows, -1)
-    pad = (-rows) % 16
-    if pad:
-        k2 = jnp.concatenate([k2, jnp.zeros((pad, k2.shape[1]), k2.dtype)], axis=0)
+    k5 = jnp.stack(parts, axis=3)  # (npp, rps, neta, n_tables, npad)
+    k2 = k5.reshape(k5.shape[0] * rps, -1)
     return _split_hi_lo(k2)
 
 
@@ -498,6 +503,7 @@ def _optics_fused_kernel(
     khi_hbm, klo_hbm, m2_ref, *rest,
     n_temp, n_eta, nbnd, npad, n_tables, bnd_lims_gpt, window,
     minor_groups, scal_offs, minor_ntp, with_rayleigh, ray_rows,
+    eta_chunk,
 ):
     n_groups = len(minor_groups)
     idx = 0
@@ -577,6 +583,14 @@ def _optics_fused_kernel(
         )
 
     cm_g2 = expand_mxu(cm_b2)  # (2B, npad)
+    # eta location expanded to g-points ONCE; per-node hat weights are then
+    # 3 VPU ops at full width inside the e loop — the previous per-e
+    # band-width hat + tiny expand matmul (9 MXU dispatches of (2B,2nbnd)@
+    # (2nbnd,npad) per grid step) serialized against the big contractions.
+    # loc = je + fe split: je (small integer) is bf16-exact, fe in [0,1) gets
+    # the hi/lo 2-pass, keeping the expanded loc within ~2^-16 absolute.
+    je_b2 = jnp.floor(loc_b2)
+    loc_g2 = expand_mxu(je_b2) + expand_mxu(loc_b2 - je_b2)  # (2B, npad)
     wts = (1.0 - ft, ft)
 
     def combine(acc):  # ft-weighted merge of the M-stacked halves
@@ -595,15 +609,26 @@ def _optics_fused_kernel(
     t_acc = jnp.zeros((2 * b, npad), jnp.float32)
     p_acc = jnp.zeros((2 * b, npad), jnp.float32)
     ray_acc = jnp.zeros((2 * b, npad), jnp.float32)
-    for e in range(n_eta):
-        r_e = dot(w_maj, kbuf[:, e * sw : (e + 1) * sw])  # (2B, sw)
-        w_e = expand_mxu(_hat(loc_b2, float(e)))          # (2B, npad)
-        t_acc = t_acc + r_e[:, :npad] * w_e
-        if n_tables == 2:
-            p_acc = p_acc + r_e[:, npad:] * w_e
-        if with_rayleigh:
-            rr_e = dot(w_ray, ray_stack[:, e * npad : (e + 1) * npad])
-            ray_acc = ray_acc + rr_e * w_e
+    # eta_chunk eta nodes contracted per MXU dispatch: the wide (2B,
+    # eta_chunk*sw) intermediate trades scoped VMEM (raised to 96 MiB by
+    # utils.compile.tpu_compiler_options) for ~n_eta/eta_chunk fewer MXU
+    # dispatches — per-dispatch fixed cost dominates at these sizes.
+    for e0 in range(0, n_eta, eta_chunk):
+        ne = min(eta_chunk, n_eta - e0)
+        r_c = dot(w_maj, kbuf[:, e0 * sw : (e0 + ne) * sw])  # (2B, ne*sw)
+        rr_c = (
+            dot(w_ray, ray_stack[:, e0 * npad : (e0 + ne) * npad])
+            if with_rayleigh
+            else None
+        )
+        for j in range(ne):
+            e = e0 + j
+            w_e = _hat(loc_g2, float(e))                      # (2B, npad) VPU
+            t_acc = t_acc + r_c[:, j * sw : j * sw + npad] * w_e
+            if n_tables == 2:
+                p_acc = p_acc + r_c[:, j * sw + npad : (j + 1) * sw] * w_e
+            if with_rayleigh:
+                ray_acc = ray_acc + rr_c[:, j * npad : (j + 1) * npad] * w_e
     tau = combine(cm_g2 * t_acc)
     pfrac = combine(p_acc) if n_tables == 2 else jnp.zeros((b, npad), jnp.float32)
     ray = combine(ray_acc) if with_rayleigh else jnp.zeros((b, npad), jnp.float32)
@@ -668,7 +693,7 @@ def _optics_fused_kernel(
     static_argnames=(
         "n_temp", "n_eta", "n_gpt", "bnd_lims_gpt", "n_tables", "window",
         "minor_groups", "scal_offs", "minor_ntp", "with_rayleigh", "block_rows",
-        "out_padded",
+        "out_padded", "eta_chunk",
     ),
 )
 def optics_fused(
@@ -694,6 +719,7 @@ def optics_fused(
     with_rayleigh: bool,
     block_rows: int = 128,
     out_padded: bool = False,
+    eta_chunk: int = 1,
 ):
     """Whole gas-optics in one kernel; returns (tau, pfrac|ssa), (rows, n_gpt)
     — or (rows, gpt_pad(n_gpt)) when out_padded (pad lanes are exact zeros:
@@ -715,6 +741,7 @@ def optics_fused(
         bnd_lims_gpt=bnd_lims_gpt, window=window, minor_groups=minor_groups,
         scal_offs=scal_offs, minor_ntp=minor_ntp, with_rayleigh=with_rayleigh,
         ray_rows=0 if ray_stack is None else ray_stack.shape[0] // 2,
+        eta_chunk=eta_chunk,
     )
     m = _band_matrix(bnd_lims_gpt, n_gpt)  # (nbnd, npad) 0/1 bf16
     m2 = jnp.concatenate([m, m], axis=0)   # [M; M] for hi/lo-stacked weights

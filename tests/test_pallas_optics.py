@@ -41,6 +41,25 @@ def test_fused_optics_matches_xla(longwave):
         assert rel.max() < 5e-5, (name, rel.max())
 
 
+@pytest.mark.parametrize("longwave", [True, False])
+def test_fused_optics_eta_chunk_parity(longwave):
+    """eta_chunk only regroups MXU dispatches; results must be identical."""
+    lkp = synthetic_gas_lookup(
+        longwave=longwave, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32
+    )
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=np.float32)
+    tabs = gp.build_pallas_tables(lkp)
+    run = gp.gas_optics_lw_raw if longwave else gp.gas_optics_sw
+    base = run(lkp, tabs, atm, block=8, eta_chunk=1)
+    for ec in (3, 9):
+        out = run(lkp, tabs, atm, block=8, eta_chunk=ec)
+        for a, b in zip(base, out):
+            if a is not None:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-30
+                )
+
+
 def test_solve_lw_source_fused_sweep_matches_xla():
     """solve_lw with pallas_tables + pallas_rte runs the banded source-fused
     sweep (Planck sources built in-kernel); fluxes must match the XLA path."""
