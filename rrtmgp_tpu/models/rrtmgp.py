@@ -203,6 +203,41 @@ def solve_lw(
 
     if pallas_rte is None:
         pallas_rte = pallas_tables is not None and dtype == jnp.float32
+
+    # Megakernel path: whole clear-sky LW solve (optics + Planck sources +
+    # sweep) in one kernel — no tau/pfrac HBM round trip. Requires the
+    # caller-verified window invariant ("force") and 128-col-aligned ncol.
+    if (
+        pallas_tables is not None and pallas_rte and not two_stream
+        and lkp_cld is None and lkp_aero is None and dtype == jnp.float32
+        and pallas_windowed == "force" and as_.ncol % 128 == 0
+    ):
+        from ..ops.gas_optics_pallas import mega_lw_inputs
+        from ..ops.pallas_mega import lw_clear_mega
+
+        mega_block = 256 if as_.ncol % 256 == 0 else 128
+        window = min(pallas_window, pallas_tables.fused_hi.shape[0])
+        (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
+         scal_offs) = mega_lw_inputs(lkp, pallas_tables, as_, window, mega_block)
+        from ..ops.pallas_interp import rows_per_slab
+
+        flux_up, flux_dn = lw_clear_mega(
+            q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc,
+            bcs.sfc_emis.astype(jnp.float32),
+            pallas_tables.fused_ilv,
+            pallas_tables.minor_stack, pallas_tables.minor_proj,
+            bcs.inc_flux,
+            nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
+            n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
+            minor_groups=groups_static, scal_offs=scal_offs,
+            minor_ntp=pallas_tables.minor_ntp,
+            slab=rows_per_slab(lkp.n_temp),
+            ds=float(Ds[0]), w_mu=float(wts[0]), block_cols=mega_block,
+        )
+        flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
+        flux = _apply_metric_scaling(flux, metric_scaling)
+        return flux, SolveDiagnostics()
+
     raw = None
     if pallas_tables is not None:
         if pallas_rte and not two_stream:
@@ -336,6 +371,45 @@ def solve_sw(
     dtype = as_.p_lay.dtype
     ncol = as_.ncol
     mu0 = bcs.cos_zenith
+
+    if pallas_rte is None:
+        pallas_rte = pallas_tables is not None and dtype == jnp.float32
+
+    # Megakernel path: whole clear-sky SW solve in one kernel (see solve_lw)
+    if (
+        pallas_tables is not None and pallas_rte and two_stream
+        and lkp_cld is None and lkp_aero is None and dtype == jnp.float32
+        and pallas_windowed == "force" and ncol % 128 == 0
+    ):
+        from ..ops.gas_optics_pallas import mega_sw_inputs
+        from ..ops.pallas_interp import rows_per_slab
+        from ..ops.pallas_mega import sw_clear_mega
+
+        window = min(pallas_window, pallas_tables.fused_hi.shape[0])
+        q_base, pack3, eta3, groups_static, scal_offs = mega_sw_inputs(
+            lkp, pallas_tables, as_, window
+        )
+        toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]
+        flux_up, flux_dn, flux_dn_dir = sw_clear_mega(
+            q_base, pack3, eta3, mu0, toa_gpt,
+            bcs.sfc_alb_direct, bcs.sfc_alb_diffuse,
+            pallas_tables.fused_ilv,
+            pallas_tables.ray_stack,
+            pallas_tables.minor_stack, pallas_tables.minor_proj,
+            bcs.inc_flux_diffuse,
+            nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
+            n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
+            minor_groups=groups_static, scal_offs=scal_offs,
+            minor_ntp=pallas_tables.minor_ntp,
+            slab=rows_per_slab(lkp.n_temp),
+        )
+        day = (mu0 > 0)[None, :]
+        flux_up = jnp.where(day, flux_up, 0.0)
+        flux_dn = jnp.where(day, flux_dn, 0.0)
+        flux_dn_dir = jnp.where(day, flux_dn_dir, 0.0)
+        flux = FluxSW(flux_up, flux_dn, flux_dn_dir, flux_up - flux_dn)
+        flux = _apply_metric_scaling(flux, metric_scaling)
+        return flux, SolveDiagnostics()
 
     if pallas_tables is not None:
         from ..ops.gas_optics_pallas import gas_optics_sw as _pallas_sw

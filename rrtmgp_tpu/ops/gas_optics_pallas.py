@@ -70,8 +70,12 @@ class PallasGasTables:
     ray_stack: jax.Array | None   # [hi; lo] rows
     fused_hi: jax.Array | None
     fused_lo: jax.Array | None
+    fused_ilv: jax.Array | None   # slab-interleaved [hi; lo; hi] rows:
+                                  # row (jp*3 + sec)*rps + jt; one stacked
+                                  # K-contiguous dot in the megakernels
     totplnk_hi: jax.Array | None
     totplnk_lo: jax.Array | None
+    totplnk_t: jax.Array | None   # (nbnd_pad, 3*rows_pad) bf16 [hi | hi | lo]
     minor_groups: tuple  # static: (side, gpt0, gpt1, (MinorInterval, ...)) per group
     minor_ntp: int       # padded temperature rows per interval
     fused_n_tables: int  # 2 = kmajor+planck (LW), 1 = kmajor only (SW)
@@ -205,7 +209,12 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
     else:
         fused_hi, fused_lo = pk.merge_tables_emajor([lkp.kmajor])
         fused_n = 1
-    totplnk_hi = totplnk_lo = None
+    rps_f = pk.rows_per_slab(lkp.n_temp)
+    npp_f = fused_hi.shape[0] // rps_f
+    _h3 = fused_hi.reshape(npp_f, rps_f, -1)
+    _l3 = fused_lo.reshape(npp_f, rps_f, -1)
+    fused_ilv = jnp.stack([_h3, _l3, _h3], axis=1).reshape(npp_f * 3 * rps_f, -1)
+    totplnk_hi = totplnk_lo = totplnk_t = None
     if lkp.planck_fraction is not None:
         tp = jnp.asarray(lkp.totplnk, jnp.float32)  # (n_t_plnk, nbnd)
         rpad = -(-tp.shape[0] // 8) * 8
@@ -213,6 +222,11 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         tp = jnp.pad(tp, ((0, rpad - tp.shape[0]), (0, cpad - tp.shape[1])))
         totplnk_hi = tp.astype(jnp.bfloat16)
         totplnk_lo = (tp - totplnk_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        tpt = tp.T  # (nbnd_pad, rows_pad) for the band-leading Planck kernel
+        tpt_hi = tpt.astype(jnp.bfloat16)
+        tpt_lo = (tpt - tpt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # [hi | hi | lo] lane-stack pairs with the kernel's [w_hi; w_lo; w_hi]
+        totplnk_t = jnp.concatenate([tpt_hi, tpt_hi, tpt_lo], axis=1)
     return PallasGasTables(
         kmajor_hi=kmajor_hi,
         kmajor_lo=kmajor_lo,
@@ -229,8 +243,10 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         ),
         fused_hi=fused_hi,
         fused_lo=fused_lo,
+        fused_ilv=fused_ilv,
         totplnk_hi=totplnk_hi,
         totplnk_lo=totplnk_lo,
+        totplnk_t=totplnk_t,
         minor_groups=tuple(group_meta),
         minor_ntp=ntp,
         fused_n_tables=fused_n,
@@ -631,6 +647,73 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac, need_lay=True):
     lev_source = jnp.concatenate([lev0[None], interior, top[None]], axis=0)
     sfc_source = planck_sfc * pfrac[0]
     return LWSources(lay_source=lay_source, lev_source=lev_source, sfc_source=sfc_source)
+
+
+def mega_lw_inputs(
+    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
+    block: int = 128,
+):
+    """Inputs for ops.pallas_mega.lw_clear_mega: pack/eta operands in
+    layer-leading layout, band-leading Planck values, static minor metadata.
+
+    Requires ncol to be a multiple of the mega block (caller checks). The
+    window invariant is the caller's responsibility (windowed="force"
+    semantics; see compute_min_window)."""
+    from .pallas_mega import planck_band_pallas_t
+
+    block = 128
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    assert ncol == ncol_pad, (ncol, ncol_pad)
+    nlay = as_.nlay
+    pack_t, eta_ops, groups_static, scal_offs = _build_pack(
+        lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray=False
+    )
+    npk = pack_t.shape[0]
+    pack3 = jnp.swapaxes(pack_t.reshape(npk, nlay, ncol), 0, 1)
+    eta3 = tuple(
+        jnp.swapaxes(x.reshape(x.shape[0], nlay, ncol), 0, 1) for x in eta_ops
+    )
+    q_base, _ = pk.window_bases(
+        q_major, pk.rows_per_slab(lkp.n_temp), tables.fused_hi.shape[0], window
+    )
+
+    nbp = -(-lkp.n_bnd // 8) * 8
+    kw = dict(
+        n_t=int(lkp.totplnk.shape[0]),
+        t_min=float(lkp.t_planck_min),
+        t_delta=float(lkp.t_planck_delta),
+        nbp_sub=nbp,
+    )
+    bp = lambda t: planck_band_pallas_t(t.reshape(-1), tables.totplnk_t, **kw)
+    plk_lay = jnp.swapaxes(bp(as_.t_lay).reshape(nbp, nlay, ncol), 0, 1)
+    plk_lev = jnp.swapaxes(bp(as_.t_lev).reshape(nbp, nlay + 1, ncol), 0, 1)
+    plk_sfc = bp(as_.t_sfc)
+    return (
+        q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc,
+        groups_static, scal_offs,
+    )
+
+
+def mega_sw_inputs(
+    lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
+    block: int = 128,
+):
+    """Inputs for ops.pallas_mega.sw_clear_mega (see mega_lw_inputs)."""
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    assert ncol == ncol_pad, (ncol, ncol_pad)
+    nlay = as_.nlay
+    pack_t, eta_ops, groups_static, scal_offs = _build_pack(
+        lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray=True
+    )
+    npk = pack_t.shape[0]
+    pack3 = jnp.swapaxes(pack_t.reshape(npk, nlay, ncol), 0, 1)
+    eta3 = tuple(
+        jnp.swapaxes(x.reshape(x.shape[0], nlay, ncol), 0, 1) for x in eta_ops
+    )
+    q_base, _ = pk.window_bases(
+        q_major, pk.rows_per_slab(lkp.n_temp), tables.fused_hi.shape[0], window
+    )
+    return q_base, pack3, eta3, groups_static, scal_offs
 
 
 class RawLWOptics(NamedTuple):

@@ -1,0 +1,758 @@
+"""Pallas TPU megakernels: whole clear-sky solves in ONE kernel.
+
+Fuses gas optics (windowed one-hot MXU table contraction, minor gases,
+Rayleigh), Planck-source construction, and the RTE vertical sweep into a
+single pallas_call per solve. Compared to the two-kernel path
+(ops.pallas_interp.optics_fused + ops.pallas_rte sweeps) this removes:
+
+- the (nlay, ncol, ngpt) tau and pfrac/ssa HBM round trip (~2 GB of traffic
+  per solve at 8k columns — written by the optics kernel, re-read by the
+  sweep);
+- the per-(layer) window DMA: the full k-table (bf16 hi/lo, ~18 MB for the
+  LW 256-g-point set) is DMAed into VMEM scratch ONCE at grid step 0 and
+  stays resident across all column blocks (Pallas scratch persists across
+  sequential grid steps); per-layer windows become in-VMEM row slices;
+- the band-Planck intermediate tensors (the sweep phase reads narrow
+  (nbnd, nlay, ncol) band emission values computed by planck_band_pallas_t,
+  16 lanes instead of the previous 128-lane padded layout).
+
+Applicability: CLEAR-SKY only (cloud/aerosol optics modify tau between
+optics and sweep and keep the two-kernel path), f32, caller-verified window
+invariant (windowed="force" semantics — see gas_optics_pallas.compute_min_window).
+
+Reference parity: the optics phase mirrors compute_gas_optics
+(/root/reference/src/optics/gas_optics.jl:166-231), the source construction
+mirrors Optics.jl:228-248, and the LW sweep mirrors rte_lw_noscat_one_angle!
+(/root/reference/src/rte/longwave1scalar.jl:149-212); SW mirrors
+rte_sw_2stream! (/root/reference/src/rte/shortwave2stream.jl:226-311).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_interp import (
+    _hat,
+    _split_hi_lo,
+    _stack_w,
+    gpt_pad,
+)
+from .pallas_rte import _sw_coeffs
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Transposed band-Planck interpolation: (nbp_sub, N) output, 16 lanes of band
+# values per row group instead of a 128-lane padded row per temperature.
+# ---------------------------------------------------------------------------
+
+
+def _planck_band_t_kernel(t_ref, tt_ref, out_ref, *, n_t, t_min, t_delta,
+                          rows_pad, nbp_sub):
+    """Band-leading output with no post-dot transpose: the 2-hot weights are
+    built directly in (rows, B) orientation and contracted from the LEFT by
+    the pre-transposed table [tpT_hi | tpT_lo] (nbnd_pad, 2*rows_pad).
+    (A transposed result fuses the transpose into the dot, which both hits an
+    unsupported CPU-interpret path and risks the v5e bf16-transpose bug.)"""
+    t = t_ref[:]  # (1, B)
+    loc = (t - t_min) / t_delta
+    j = jnp.clip(jnp.floor(loc), 0, n_t - 2)
+    f = jnp.clip(loc - j, 0.0, 1.0)
+    b = t.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows_pad, b), 0).astype(jnp.float32)
+    w = jnp.where(iota == j, 1.0 - f, 0.0) + jnp.where(iota == j + 1.0, f, 0.0)
+    w_hi, w_lo = _split_hi_lo(w)
+    # [t_hi | t_hi | t_lo] @ [w_hi; w_lo; w_hi]: the three f32-accuracy passes
+    r = jnp.dot(
+        tt_ref[:],
+        jnp.concatenate([w_hi, w_lo, w_hi], axis=0),
+        preferred_element_type=jnp.float32,
+    )  # (nbnd_pad, B)
+    out_ref[:] = r[:nbp_sub]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_t", "t_min", "t_delta", "nbp_sub", "block_rows")
+)
+def planck_band_pallas_t(
+    t: jax.Array,       # (N,) temperatures
+    tp_t: jax.Array,    # (nbnd_pad, 3*rows_pad) bf16 [tpT_hi | tpT_hi | tpT_lo]
+    *,
+    n_t: int,
+    t_min: float,
+    t_delta: float,
+    nbp_sub: int,       # bands padded to a sublane multiple (8)
+    block_rows: int = 512,
+) -> jax.Array:
+    """Band-LEADING Planck emission: returns (nbp_sub, N) f32 — rows are
+    bands (padded to 8 sublanes), lanes are the flattened temperature points.
+    8x less HBM traffic than the (N, 128) layout for 16-band sets."""
+    n = t.shape[0]
+    np_rows = -(-n // block_rows) * block_rows
+    t2 = jnp.pad(t.astype(jnp.float32), (0, np_rows - n), mode="edge").reshape(1, np_rows)
+    rows_pad = tp_t.shape[1] // 3
+    kernel = functools.partial(
+        _planck_band_t_kernel, n_t=n_t, t_min=t_min, t_delta=t_delta,
+        rows_pad=rows_pad, nbp_sub=nbp_sub,
+    )
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            full(tp_t),
+        ],
+        out_specs=pl.BlockSpec((nbp_sub, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbp_sub, np_rows), jnp.float32),
+        interpret=_interpret(),
+    )(t2, tp_t)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Shared optics phase (runs inside the megakernels)
+# ---------------------------------------------------------------------------
+
+
+def _optics_phase(
+    l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+    kilv_tab, mk_stack, mk_proj, ray_tab,
+    *, window, n_eta, npad, n_tables, sw, minor_groups, scal_offs, minor_ntp,
+    with_rayleigh, ray_rows, slab,
+):
+    """One layer's gas optics for a column block; returns (tau, second) each
+    (B, npad) f32 where second = pfrac (LW) or ssa (SW). Identical arithmetic
+    to pallas_interp._optics_fused_kernel, but the table lives in VMEM
+    (kilv_tab scratch, slab-interleaved [hi; lo; hi] rows) so the per-layer
+    window is a row slice, not a DMA, and the whole three-pass bf16
+    contraction is ONE K-contiguous MXU dot."""
+    base = pl.multiple_of(qb_ref[l], 16)  # slab-aligned (multiple of slab)
+    d = pack_ref[l].T  # (npk, B) -> (B, npk)
+    b = d.shape[0]
+    q = d[:, 0:1].astype(jnp.int32) - base
+    jt = d[:, 1:2].astype(jnp.int32)
+    fp = d[:, 2:3]
+    ft = d[:, 3:4]
+    col_dry = d[:, 4:5]
+    w3 = 3 * window
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (b, w3), 1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (b, minor_ntp), 1)
+
+    # interleaved-row index for (press offset p, section sec, temp half h):
+    # jp_rel*3*slab + sec*slab + jt_local (+h); weight value = bf16 hi part
+    # for sections 0/1, lo part for section 2 — exactly bf16-representable,
+    # so the cast of the assembled W is exact
+    jp_rel = q // slab
+    jtl = q - jp_rel * slab
+    q3 = jp_rel * (3 * slab) + jtl
+    omf = 1.0 - fp
+    omf_h = omf.astype(jnp.bfloat16).astype(jnp.float32)
+    omf_l = omf - omf_h
+    fp_h = fp.astype(jnp.bfloat16).astype(jnp.float32)
+    fp_l = fp - fp_h
+    vals = ((omf_h, omf_h, omf_l), (fp_h, fp_h, fp_l))
+    w_rows = []
+    for half in (0, 1):
+        w = jnp.zeros((b, w3), jnp.float32)
+        for p in (0, 1):
+            for sec in (0, 1, 2):
+                row = q3 + half + p * (3 * slab) + sec * slab
+                w = w + jnp.where(iota_q == row, vals[p][sec], 0.0)
+        w_rows.append(w)
+    w_maj = jnp.concatenate(w_rows, axis=0).astype(jnp.bfloat16)  # (2B, 3*window)
+
+    loc_b2 = jnp.concatenate([loc1_ref[l].T, loc2_ref[l].T], axis=0)  # (2B, nbnd)
+    cm_b2 = jnp.concatenate([cm1_ref[l].T, cm2_ref[l].T], axis=0)
+
+    def expand_mxu(v_band):
+        v_hi, v_lo = _split_hi_lo(v_band)
+        return jnp.dot(
+            jnp.concatenate([v_hi, v_lo], axis=1), m2,
+            preferred_element_type=jnp.float32,
+        )
+
+    cm_g2 = expand_mxu(cm_b2)
+    je_b2 = jnp.floor(loc_b2)
+    loc_g2 = expand_mxu(je_b2) + expand_mxu(loc_b2 - je_b2)
+    wts = (1.0 - ft, ft)
+
+    def combine(acc):
+        return wts[0] * acc[:b] + wts[1] * acc[b:]
+
+    dot = lambda a, k: jnp.dot(a, k, preferred_element_type=jnp.float32)
+    k_win = kilv_tab[pl.ds(3 * base, w3)]
+    if with_rayleigh:
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, ray_rows), 1)
+        qr = d[:, 5:6].astype(jnp.int32)
+        w_ray1 = jnp.concatenate(
+            [jnp.where(iota_r == qr + half, 1.0, 0.0) for half in (0, 1)], axis=0
+        ).astype(jnp.bfloat16)
+        w_ray = jnp.concatenate([w_ray1, w_ray1], axis=1)  # (2B, 2*ray_rows)
+
+    # whole-width contraction: one K-contiguous stacked dot gives all three
+    # f32-accuracy passes (hi*hi + hi*lo + lo*hi) against the interleaved rows
+    r_all = dot(w_maj, k_win)
+    if with_rayleigh:
+        rr_all = dot(w_ray, ray_tab)
+
+    t_acc = jnp.zeros((2 * b, npad), jnp.float32)
+    p_acc = jnp.zeros((2 * b, npad), jnp.float32)
+    ray_acc = jnp.zeros((2 * b, npad), jnp.float32)
+    for e in range(n_eta):
+        w_e = _hat(loc_g2, float(e))
+        t_acc = t_acc + r_all[:, e * sw : e * sw + npad] * w_e
+        if n_tables == 2:
+            p_acc = p_acc + r_all[:, e * sw + npad : (e + 1) * sw] * w_e
+        if with_rayleigh:
+            ray_acc = ray_acc + rr_all[:, e * npad : (e + 1) * npad] * w_e
+    tau = combine(cm_g2 * t_acc)
+    second = combine(p_acc) if n_tables == 2 else None
+    ray = combine(ray_acc) if with_rayleigh else None
+
+    minor_pieces: dict = {}
+    for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
+        so = scal_offs[gi]
+        wm = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        jnp.where(iota_t == jt + half, d[:, so + i : so + i + 1], 0.0)
+                        for i in range(n_i)
+                    ],
+                    axis=1,
+                )
+                for half in (0, 1)
+            ],
+            axis=0,
+        )
+        rm = dot(_stack_w(wm), mk_stack[gi][:])
+        ng = g1 - g0
+        s = min(max(128 // ng, 1), n_eta)
+        wp = rm.shape[1]
+        loc_col = loc_b2[:, ibnd : ibnd + 1]
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (2 * b, wp), 1)
+        lane = iota_l % 128
+        e_lane = (iota_l // 128) * s + lane // ng
+        valid = jnp.logical_and(lane < s * ng, e_lane < n_eta)
+        w = jnp.where(valid, _hat(loc_col, e_lane.astype(jnp.float32)), 0.0)
+        acc = rm * w
+        a_hi, a_lo = _split_hi_lo(acc)
+        summed = dot(jnp.concatenate([a_hi, a_lo], axis=1), mk_proj[gi][:])
+        contrib = combine(summed)[:, :ng]
+        key = (g0, g1)
+        minor_pieces[key] = (
+            contrib if key not in minor_pieces else minor_pieces[key] + contrib
+        )
+
+    tau = tau * col_dry
+    for (g0, g1), piece in minor_pieces.items():
+        tau = tau + jnp.pad(piece, ((0, 0), (g0, npad - g1)))
+    if with_rayleigh:
+        ray = ray * d[:, 6:7]
+        tau = jnp.maximum(tau + ray, 0.0)
+        ray_c = jnp.maximum(ray, 0.0)
+        second = jnp.where(tau > 0.0, ray_c / jnp.where(tau > 0.0, tau, 1.0), 0.0)
+        return tau, second
+    return jnp.maximum(tau, 0.0), second
+
+
+# ---------------------------------------------------------------------------
+# LW clear-sky megakernel: optics + Planck sources + no-scat sweep
+# ---------------------------------------------------------------------------
+
+
+def _lw_mega_kernel(
+    qb_ref,
+    pack_ref,                              # (nlay, npk, B)
+    loc1_ref, cm1_ref, loc2_ref, cm2_ref,  # (nlay, nbnd, B)
+    plkl_ref,                              # (nlay, nbp, B) band Planck at t_lay
+    plke_ref,                              # (nlev, nbp, B) band Planck at t_lev
+    plks_ref,                              # (nbp, B) band Planck at t_sfc
+    emis_ref,                              # (nbp, B) per-band emissivity
+    inc_ref,                               # (B, G) TOA incident flux per gpt
+    kilv_hbm,                              # ANY (3*rows, W) bf16 interleaved
+    m2_ref,                                # (2*nbnd, G)
+    *rest,
+    nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
+    slab, ds, w_mu,
+):
+    n_groups = len(minor_groups)
+    idx = 0
+    mk_stack = rest[idx : idx + n_groups]; idx += n_groups
+    mk_proj = rest[idx : idx + n_groups]; idx += n_groups
+    up_ref, dn_ref = rest[idx : idx + 2]; idx += 2
+    kilv_tab, tau_s, pfrac_s, up_acc, dn_acc, sem = rest[idx : idx + 6]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_table():
+        cp = pltpu.make_async_copy(kilv_hbm, kilv_tab, sem.at[0])
+        cp.start()
+        cp.wait()
+
+    m2 = m2_ref[:]
+
+    # phase 1: per-layer gas optics into VMEM scratch
+    def optics_step(l, carry):
+        tau, pfrac = _optics_phase(
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            kilv_tab, mk_stack, mk_proj, None,
+            window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
+            minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+            with_rayleigh=False, ray_rows=0, slab=slab,
+        )
+        tau_s[l] = tau
+        pfrac_s[l] = pfrac
+        return carry
+
+    jax.lax.fori_loop(0, nlay, optics_step, 0)
+
+    # phase 2: LW no-scat sweep with in-register Planck sources
+    # (mirrors pallas_rte._lw_noscat_banded_kernel)
+    eps = float(jnp.finfo(jnp.float32).eps)
+    tau_thresh = 100.0 * eps
+    i2f = float(jnp.pi) * w_mu
+    f2i = 1.0 / i2f
+
+    def expand(v):  # (B, nbp) -> (B, G) exact band broadcast
+        v_hi, v_lo = _split_hi_lo(v)
+        return jnp.dot(
+            jnp.concatenate([v_hi, v_lo], axis=1), m2,
+            preferred_element_type=jnp.float32,
+        )
+
+    def srcs(ilay, ilev, jnbr):
+        pf = pfrac_s[ilay]
+        lev_val = expand(plke_ref[ilev].T) * jnp.sqrt(pf * pfrac_s[jnbr])
+        lay_val = expand(plkl_ref[ilay].T) * pf
+        tau_loc = tau_s[ilay] * ds
+        trans = jnp.exp(-tau_loc)
+        tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
+        fact = jnp.where(
+            tau_loc > tau_thresh,
+            (1.0 - trans) / tau_safe - trans,
+            tau_loc * (0.5 + tau_loc * (-1.0 / 3.0 + tau_loc * 0.125)),
+        )
+        return trans, (1.0 - trans) * lev_val + 2.0 * fact * (lay_val - lev_val)
+
+    i_dn_top = inc_ref[:] * f2i
+    dn_acc[nlay] = jnp.sum(i_dn_top, axis=-1) * i2f
+
+    def down_step(i, carry):
+        ilay = nlay - 1 - i
+        trans, s = srcs(ilay, ilay, jnp.maximum(ilay - 1, 0))
+        i_dn = trans * carry + s
+        dn_acc[ilay] = jnp.sum(i_dn, axis=-1) * i2f
+        return i_dn
+
+    i_dn_sfc = jax.lax.fori_loop(0, nlay, down_step, i_dn_top)
+
+    emis = expand(emis_ref[:].T)
+    sfc_src = expand(plks_ref[:].T) * pfrac_s[0]
+    i_up = i_dn_sfc * (1.0 - emis) + emis * sfc_src
+    up_acc[0] = jnp.sum(i_up, axis=-1) * i2f
+
+    def up_step(ilay, carry):
+        trans, s = srcs(ilay, ilay + 1, jnp.minimum(ilay + 1, nlay - 1))
+        i_up_n = trans * carry + s
+        up_acc[ilay + 1] = jnp.sum(i_up_n, axis=-1) * i2f
+        return i_up_n
+
+    jax.lax.fori_loop(0, nlay, up_step, i_up)
+    up_ref[:] = up_acc[:].T
+    dn_ref[:] = dn_acc[:].T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nlay", "window", "n_eta", "n_gpt", "n_bnd", "bnd_lims_gpt",
+        "minor_groups", "scal_offs", "minor_ntp", "slab", "ds", "w_mu",
+        "block_cols",
+    ),
+)
+def lw_clear_mega(
+    q_base: jax.Array,        # (nlay,) int32
+    pack: jax.Array,          # (nlay, npk, ncol) f32
+    eta_ops: tuple,           # 4 x (nlay, nbnd, ncol) f32: loc1, cm1, loc2, cm2
+    plk_lay: jax.Array,       # (nlay, nbp, ncol) f32
+    plk_lev: jax.Array,       # (nlev, nbp, ncol)
+    plk_sfc: jax.Array,       # (nbp, ncol)
+    sfc_emis: jax.Array,      # (nbnd, ncol)
+    kilv: jax.Array,          # (3*rows, W) bf16 interleaved fused table
+    minor_stack: tuple,
+    minor_proj: tuple,
+    inc_flux: jax.Array | None,
+    *,
+    nlay: int,
+    window: int,
+    n_eta: int,
+    n_gpt: int,
+    n_bnd: int,
+    bnd_lims_gpt: tuple,
+    minor_groups: tuple,
+    scal_offs: tuple,
+    minor_ntp: int,
+    slab: int,
+    ds: float,
+    w_mu: float,
+    block_cols: int = 128,
+):
+    """Whole clear-sky LW no-scat solve in one kernel; returns
+    (flux_up, flux_dn), each (nlev, ncol) f32, spectrally reduced."""
+    ncol = pack.shape[-1]
+    nlev = nlay + 1
+    gp = gpt_pad(n_gpt)
+    assert ncol % block_cols == 0, (ncol, block_cols)
+    nblk = ncol // block_cols
+    npad = gp
+    n_tables = 2
+    sw = n_tables * npad
+    nbp = plk_lay.shape[1]
+
+    # one expand matrix serves the eta/cm operands and the Planck band
+    # values: every band-leading operand is padded to mb rows (zero rows of
+    # the 0/1 matrix make pad lanes inert)
+    mb = max(-(-n_bnd // 8) * 8, nbp)
+    m_pad = np.zeros((mb, gp), np.float32)
+    for i, (g0, g1) in enumerate(bnd_lims_gpt):
+        m_pad[i, g0:g1] = 1.0
+    m2 = jnp.asarray(np.concatenate([m_pad, m_pad], axis=0), jnp.bfloat16)
+
+    def pad_band(x, axis):
+        if x.shape[axis] == mb:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, mb - x.shape[axis])
+        return jnp.pad(x, w)
+
+    eta_ops = tuple(pad_band(x, 1) for x in eta_ops)
+    sfc_emis = pad_band(sfc_emis, 0)
+    plk_lay = pad_band(plk_lay, 1)
+    plk_lev = pad_band(plk_lev, 1)
+    plk_sfc = pad_band(plk_sfc, 0)
+    nbp = mb
+
+    inc = (
+        jnp.zeros((ncol, gp), jnp.float32)
+        if inc_flux is None
+        else jnp.pad(inc_flux.astype(jnp.float32), ((0, 0), (0, gp - inc_flux.shape[-1])))
+    )
+
+    lay3 = lambda d1: pl.BlockSpec(
+        (nlay, d1, block_cols), lambda c, *_: (0, 0, c), memory_space=pltpu.VMEM
+    )
+    lev3 = lambda d1: pl.BlockSpec(
+        (nlev, d1, block_cols), lambda c, *_: (0, 0, c), memory_space=pltpu.VMEM
+    )
+    band2 = lambda d0: pl.BlockSpec(
+        (d0, block_cols), lambda c, *_: (0, c), memory_space=pltpu.VMEM
+    )
+    col_spec = pl.BlockSpec((block_cols, gp), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
+    red_spec = pl.BlockSpec((block_cols, nlev), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda c, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    npk = pack.shape[1]
+    kernel = functools.partial(
+        _lw_mega_kernel,
+        nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
+        minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+        slab=slab, ds=ds, w_mu=w_mu,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            lay3(npk),
+            lay3(eta_ops[0].shape[1]), lay3(eta_ops[1].shape[1]),
+            lay3(eta_ops[2].shape[1]), lay3(eta_ops[3].shape[1]),
+            lay3(nbp), lev3(nbp), band2(nbp), band2(sfc_emis.shape[0]),
+            col_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            full(m2),
+        ]
+        + [full(k) for k in minor_stack]
+        + [full(p) for p in minor_proj],
+        out_specs=(red_spec, red_spec),
+        scratch_shapes=[
+            pltpu.VMEM(kilv.shape, jnp.bfloat16),
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(2)
+        ),
+        interpret=_interpret(),
+    )(
+        q_base, pack, *eta_ops, plk_lay, plk_lev, plk_sfc, sfc_emis, inc,
+        kilv, m2, *minor_stack, *minor_proj,
+    )
+    return tuple(o.T for o in out)
+
+
+# ---------------------------------------------------------------------------
+# SW clear-sky megakernel: optics (+Rayleigh) + two-stream sweep
+# ---------------------------------------------------------------------------
+
+
+def _sw_mega_kernel(
+    qb_ref,
+    pack_ref,                              # (nlay, npk, B)
+    loc1_ref, cm1_ref, loc2_ref, cm2_ref,  # (nlay, mb, B)
+    mu0_ref,                               # (1, B)
+    toa_ref,                               # (B, G) per-g-point TOA flux
+    adir_ref, adif_ref,                    # (mb, B) band albedos
+    incdif_ref,                            # (B, G)
+    kilv_hbm,                              # ANY (3*rows, W) bf16 interleaved
+    ray_ref,                               # (2*ray_rows, neta*G) bf16 [hi; lo]
+    m2_ref,                                # (2*mb, G)
+    *rest,
+    nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
+    slab, ray_rows,
+):
+    n_groups = len(minor_groups)
+    idx = 0
+    mk_stack = rest[idx : idx + n_groups]; idx += n_groups
+    mk_proj = rest[idx : idx + n_groups]; idx += n_groups
+    up_ref, dn_ref, dir_ref = rest[idx : idx + 3]; idx += 3
+    (kilv_tab, tau_s, ssa_s, rdif_s, tdif_s, tdir_s,
+     dirf, albedo, src, up_acc, dn_acc, sem) = rest[idx : idx + 12]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_table():
+        cp = pltpu.make_async_copy(kilv_hbm, kilv_tab, sem.at[0])
+        cp.start()
+        cp.wait()
+
+    m2 = m2_ref[:]
+    ray_tab = ray_ref[:]
+
+    def optics_step(l, carry):
+        tau, ssa = _optics_phase(
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            kilv_tab, mk_stack, mk_proj, ray_tab,
+            window=window, n_eta=n_eta, npad=npad, n_tables=1, sw=sw,
+            minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+            with_rayleigh=True, ray_rows=ray_rows, slab=slab,
+        )
+        tau_s[l] = tau
+        ssa_s[l] = ssa
+        return carry
+
+    jax.lax.fori_loop(0, nlay, optics_step, 0)
+
+    # SW two-stream sweep, clear sky (asymmetry g = 0); mirrors
+    # pallas_rte._sw_sweep_reduced_stream_kernel with tau/ssa from scratch
+    eps = float(jnp.finfo(jnp.float32).eps)
+    mu0 = mu0_ref[:].T  # (B, 1), broadcasts over g-points
+    mu0_safe = jnp.maximum(mu0, eps)
+
+    def expand(v):  # (B, mb) -> (B, G)
+        v_hi, v_lo = _split_hi_lo(v)
+        return jnp.dot(
+            jnp.concatenate([v_hi, v_lo], axis=1), m2,
+            preferred_element_type=jnp.float32,
+        )
+
+    # pass 1: direct beam TOA -> surface
+    dir_top = toa_ref[:] * mu0
+    dirf[nlay] = dir_top
+
+    def dir_step(i, carry):
+        ilay = nlay - 1 - i
+        d = carry * jnp.exp(-tau_s[ilay] / mu0_safe)
+        dirf[ilay] = d
+        return d
+
+    jax.lax.fori_loop(0, nlay, dir_step, dir_top)
+
+    # pass 2: bottom-up albedo/src; coefficients computed here and cached
+    albedo[0] = expand(adif_ref[:].T)
+    src[0] = dirf[0] * expand(adir_ref[:].T)
+
+    def up_step(ilay, carry):
+        alb_i, src_i = carry
+        Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau_s[ilay], ssa_s[ilay], 0.0, mu0, eps)
+        rdif_s[ilay] = Rdif
+        tdif_s[ilay] = Tdif
+        tdir_s[ilay] = Tdir
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        d_above = dirf[ilay + 1]
+        alb_n = Rdif + Tdif * Tdif * alb_i * denom
+        src_n = Rdir * d_above + Tdif * denom * (src_i + alb_i * Tdir * d_above)
+        albedo[ilay + 1] = alb_n
+        src[ilay + 1] = src_n
+        return alb_n, src_n
+
+    jax.lax.fori_loop(0, nlay, up_step, (albedo[0], src[0]))
+
+    # pass 3: top-down diffuse flux + spectral reduction
+    fd_top = incdif_ref[:]
+    up_acc[nlay] = jnp.sum(fd_top * albedo[nlay] + src[nlay], axis=-1)
+    dn_acc[nlay] = jnp.sum(fd_top + dirf[nlay], axis=-1)
+
+    def down_step(i, carry):
+        ilay = nlay - 1 - i
+        alb_i = albedo[ilay]
+        src_i = src[ilay]
+        Rdif = rdif_s[ilay]
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        fd = (tdif_s[ilay] * carry + Rdif * src_i + tdir_s[ilay] * dirf[ilay + 1]) * denom
+        up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
+        dn_acc[ilay] = jnp.sum(fd + dirf[ilay], axis=-1)
+        return fd
+
+    jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    up_ref[:] = up_acc[:].T
+    dn_ref[:] = dn_acc[:].T
+    dir_ref[:] = jnp.sum(dirf[:], axis=-1).T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nlay", "window", "n_eta", "n_gpt", "n_bnd", "bnd_lims_gpt",
+        "minor_groups", "scal_offs", "minor_ntp", "slab", "block_cols",
+    ),
+)
+def sw_clear_mega(
+    q_base: jax.Array,        # (nlay,) int32
+    pack: jax.Array,          # (nlay, npk, ncol) f32
+    eta_ops: tuple,           # 4 x (nlay, nbnd, ncol) f32
+    mu0: jax.Array,           # (ncol,)
+    toa_gpt: jax.Array,       # (ncol, ngpt)
+    alb_dir: jax.Array,       # (nbnd, ncol)
+    alb_dif: jax.Array,       # (nbnd, ncol)
+    kilv: jax.Array,          # (3*rows, W) bf16 interleaved kmajor table
+    ray_stack: jax.Array,     # (2*ray_rows, neta*G) bf16 [hi; lo]
+    minor_stack: tuple,
+    minor_proj: tuple,
+    inc_flux_diffuse: jax.Array | None,
+    *,
+    nlay: int,
+    window: int,
+    n_eta: int,
+    n_gpt: int,
+    n_bnd: int,
+    bnd_lims_gpt: tuple,
+    minor_groups: tuple,
+    scal_offs: tuple,
+    minor_ntp: int,
+    slab: int,
+    block_cols: int = 128,
+):
+    """Whole clear-sky SW two-stream solve in one kernel; returns
+    (flux_up, flux_dn, flux_dn_dir), each (nlev, ncol) f32, spectrally
+    reduced. Night-column zeroing is the caller's job (as in ops.rte)."""
+    ncol = pack.shape[-1]
+    nlev = nlay + 1
+    gp = gpt_pad(n_gpt)
+    assert ncol % block_cols == 0, (ncol, block_cols)
+    nblk = ncol // block_cols
+    npad = gp
+    sw = npad  # one table (kmajor) in the fused rows
+
+    mb = -(-n_bnd // 8) * 8
+    m_pad = np.zeros((mb, gp), np.float32)
+    for i, (g0, g1) in enumerate(bnd_lims_gpt):
+        m_pad[i, g0:g1] = 1.0
+    m2 = jnp.asarray(np.concatenate([m_pad, m_pad], axis=0), jnp.bfloat16)
+
+    def pad_band(x, axis):
+        if x.shape[axis] == mb:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, mb - x.shape[axis])
+        return jnp.pad(x, w)
+
+    eta_ops = tuple(pad_band(x, 1) for x in eta_ops)
+    alb_dir = pad_band(alb_dir.astype(jnp.float32), 0)
+    alb_dif = pad_band(alb_dif.astype(jnp.float32), 0)
+
+    padg = lambda x: jnp.pad(
+        x.astype(jnp.float32), ((0, 0), (0, gp - x.shape[-1]))
+    )
+    toa = padg(toa_gpt)
+    inc = (
+        jnp.zeros((ncol, gp), jnp.float32)
+        if inc_flux_diffuse is None
+        else padg(inc_flux_diffuse)
+    )
+    mu0_2d = mu0.astype(jnp.float32).reshape(1, ncol)
+
+    lay3 = lambda d1: pl.BlockSpec(
+        (nlay, d1, block_cols), lambda c, *_: (0, 0, c), memory_space=pltpu.VMEM
+    )
+    band2 = lambda d0: pl.BlockSpec(
+        (d0, block_cols), lambda c, *_: (0, c), memory_space=pltpu.VMEM
+    )
+    col_spec = pl.BlockSpec((block_cols, gp), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
+    red_spec = pl.BlockSpec((block_cols, nlev), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda c, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    npk = pack.shape[1]
+    ray_rows = ray_stack.shape[0] // 2
+    kernel = functools.partial(
+        _sw_mega_kernel,
+        nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
+        minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+        slab=slab, ray_rows=ray_rows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            lay3(npk),
+            lay3(mb), lay3(mb), lay3(mb), lay3(mb),
+            band2(1), col_spec, band2(mb), band2(mb), col_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            full(ray_stack),
+            full(m2),
+        ]
+        + [full(k) for k in minor_stack]
+        + [full(p) for p in minor_proj],
+        out_specs=(red_spec, red_spec, red_spec),
+        scratch_shapes=[
+            pltpu.VMEM(kilv.shape, jnp.bfloat16),
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # tau
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # ssa
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdif
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdif
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdir
+            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # dirf
+            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # albedo
+            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # src
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(
+        q_base, pack, *eta_ops, mu0_2d, toa, alb_dir, alb_dif, inc,
+        kilv, ray_stack, m2, *minor_stack, *minor_proj,
+    )
+    return tuple(o.T for o in out)

@@ -102,3 +102,64 @@ def test_fused_optics_fallback_on_wide_window():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(a - b) / (np.abs(a).max() + 1e-30)
         assert rel.max() < 5e-5, rel.max()
+
+
+def test_lw_clear_megakernel_matches_xla():
+    """The single-kernel clear-sky LW solve (ops.pallas_mega.lw_clear_mega:
+    optics + Planck sources + no-scat sweep fused, table VMEM-resident) must
+    match the XLA reference path."""
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import LwBCs
+
+    ncol = 128  # mega path requires 128-col alignment
+    lkp = synthetic_gas_lookup(longwave=True, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32)
+    tabs = gp.build_pallas_tables(lkp)
+    bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
+    win = compute_min_window(lkp, atm)
+    ref, _ = solve_lw(lkp, atm, bcs, pallas_rte=False)
+    out, _ = solve_lw(
+        lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
+        pallas_windowed="force", pallas_window=win,
+    )
+    assert out.flux_up.shape == ref.flux_up.shape
+    for name in ("flux_up", "flux_dn", "flux_net"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 5e-5, (name, np.abs(a - b).max() / scale)
+
+
+def test_sw_clear_megakernel_matches_xla():
+    """Single-kernel clear-sky SW solve vs the XLA reference path."""
+    from rrtmgp_tpu.models.rrtmgp import solve_sw
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import SwBCs
+
+    ncol = 128
+    lkp = synthetic_gas_lookup(longwave=False, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32)
+    tabs = gp.build_pallas_tables(lkp)
+    mu0 = np.full((ncol,), 0.6, np.float32)
+    mu0[::7] = -0.1  # night columns must come out exactly zero
+    bcs = SwBCs(
+        cos_zenith=jnp.asarray(mu0),
+        toa_flux=jnp.full((ncol,), 1361.0, jnp.float32),
+        sfc_alb_direct=jnp.full((lkp.n_bnd, ncol), 0.2, jnp.float32),
+        sfc_alb_diffuse=jnp.full((lkp.n_bnd, ncol), 0.25, jnp.float32),
+    )
+    win = compute_min_window(lkp, atm)
+    ref, _ = solve_sw(lkp, atm, bcs, pallas_rte=False)
+    out, _ = solve_sw(
+        lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
+        pallas_windowed="force", pallas_window=win,
+    )
+    # 1e-4: the direct-beam exp(-tau/mu0) chain amplifies the bf16-hi/lo
+    # table rounding slightly beyond the LW tolerance
+    for name in ("flux_up", "flux_dn", "flux_dn_dir", "flux_net"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
+    assert np.all(np.asarray(out.flux_dn)[:, ::7] == 0.0)
