@@ -80,8 +80,12 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
         win_sw = compute_min_window(lkp_sw, atm)
     copts = tpu_compiler_options()
     scols = sweep_block_cols()
-    pk_lw = dict(pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols)
-    pk_sw = dict(pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols)
+    # "force": the window invariant is established once from the full
+    # atmosphere (chunks are subsets), enabling the clear-sky megakernels
+    pk_lw = dict(pallas_tables=tabs_lw, pallas_window=win_lw,
+                 pallas_sweep_cols=scols, pallas_windowed="force")
+    pk_sw = dict(pallas_tables=tabs_sw, pallas_window=win_sw,
+                 pallas_sweep_cols=scols, pallas_windowed="force")
 
     lkp_cld_lw = lkp_cld_sw = None
     if mode == "allsky":
