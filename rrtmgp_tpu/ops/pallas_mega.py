@@ -292,7 +292,7 @@ def _lw_mega_kernel(
     mk_stack = rest[idx : idx + n_groups]; idx += n_groups
     mk_proj = rest[idx : idx + n_groups]; idx += n_groups
     up_ref, dn_ref = rest[idx : idx + 2]; idx += 2
-    kilv_tab, tau_s, pfrac_s, up_acc, dn_acc, sem = rest[idx : idx + 6]
+    kilv_tab, trans_s, sdn_s, sup_s, sfc_s, up_acc, dn_acc, sem = rest[idx : idx + 8]
 
     @pl.when(pl.program_id(0) == 0)
     def _load_table():
@@ -301,24 +301,6 @@ def _lw_mega_kernel(
         cp.wait()
 
     m2 = m2_ref[:]
-
-    # phase 1: per-layer gas optics into VMEM scratch
-    def optics_step(l, carry):
-        tau, pfrac = _optics_phase(
-            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
-            kilv_tab, mk_stack, mk_proj, None,
-            window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
-            minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-            with_rayleigh=False, ray_rows=0, slab=slab,
-        )
-        tau_s[l] = tau
-        pfrac_s[l] = pfrac
-        return carry
-
-    jax.lax.fori_loop(0, nlay, optics_step, 0)
-
-    # phase 2: LW no-scat sweep with in-register Planck sources
-    # (mirrors pallas_rte._lw_noscat_banded_kernel)
     eps = float(jnp.finfo(jnp.float32).eps)
     tau_thresh = 100.0 * eps
     i2f = float(jnp.pi) * w_mu
@@ -331,11 +313,26 @@ def _lw_mega_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    def srcs(ilay, ilev, jnbr):
-        pf = pfrac_s[ilay]
-        lev_val = expand(plke_ref[ilev].T) * jnp.sqrt(pf * pfrac_s[jnbr])
-        lay_val = expand(plkl_ref[ilay].T) * pf
-        tau_loc = tau_s[ilay] * ds
+    # phase 1: per-layer gas optics -> transmittance + the Clough linear-in-
+    # tau sources for BOTH sweep directions, finished in VMEM scratch. The
+    # previous layer's (pfrac, trans, fact, lay_val) ride the fori carry so
+    # each level value sqrt(pfrac_below*pfrac_above) and the one-step-delayed
+    # upward source need no second pass (ref Optics.jl:228-248,
+    # longwave1scalar.jl:149-212). The sweep phase is then a pure
+    # multiply-add recurrence.
+    def clough(trans, fact, lay_val, lev_val):
+        return (1.0 - trans) * lev_val + 2.0 * fact * (lay_val - lev_val)
+
+    def optics_step(l, carry):
+        pf_prev, trans_prev, fact_prev, lay_prev = carry
+        tau, pf = _optics_phase(
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            kilv_tab, mk_stack, mk_proj, None,
+            window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
+            minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+            with_rayleigh=False, ray_rows=0, slab=slab,
+        )
+        tau_loc = tau * ds
         trans = jnp.exp(-tau_loc)
         tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
         fact = jnp.where(
@@ -343,28 +340,49 @@ def _lw_mega_kernel(
             (1.0 - trans) / tau_safe - trans,
             tau_loc * (0.5 + tau_loc * (-1.0 / 3.0 + tau_loc * 0.125)),
         )
-        return trans, (1.0 - trans) * lev_val + 2.0 * fact * (lay_val - lev_val)
+        lay_val = expand(plkl_ref[l].T) * pf
+        # level l value: geometric mean of adjacent pfracs (l=0: pf_prev=pf)
+        pf_lo = jnp.where(l > 0, pf_prev, pf)
+        lev_val = expand(plke_ref[l].T) * jnp.sqrt(pf_lo * pf)
+        trans_s[l] = trans
+        sdn_s[l] = clough(trans, fact, lay_val, lev_val)
 
+        @pl.when(l > 0)
+        def _sup_prev():
+            sup_s[l - 1] = clough(trans_prev, fact_prev, lay_prev, lev_val)
+
+        @pl.when(l == 0)
+        def _sfc():
+            sfc_s[0] = expand(plks_ref[:].T) * pf
+
+        return pf, trans, fact, lay_val
+
+    b = up_acc.shape[1]
+    zero = jnp.zeros((b, npad), jnp.float32)
+    pf_top, trans_top, fact_top, lay_top = jax.lax.fori_loop(
+        0, nlay, optics_step, (zero, zero, zero, zero)
+    )
+    lev_top = expand(plke_ref[nlay].T) * pf_top
+    sup_s[nlay - 1] = clough(trans_top, fact_top, lay_top, lev_top)
+
+    # phase 2: LW no-scat sweep — pure recurrences over finished scratch
     i_dn_top = inc_ref[:] * f2i
     dn_acc[nlay] = jnp.sum(i_dn_top, axis=-1) * i2f
 
     def down_step(i, carry):
         ilay = nlay - 1 - i
-        trans, s = srcs(ilay, ilay, jnp.maximum(ilay - 1, 0))
-        i_dn = trans * carry + s
+        i_dn = trans_s[ilay] * carry + sdn_s[ilay]
         dn_acc[ilay] = jnp.sum(i_dn, axis=-1) * i2f
         return i_dn
 
     i_dn_sfc = jax.lax.fori_loop(0, nlay, down_step, i_dn_top)
 
     emis = expand(emis_ref[:].T)
-    sfc_src = expand(plks_ref[:].T) * pfrac_s[0]
-    i_up = i_dn_sfc * (1.0 - emis) + emis * sfc_src
+    i_up = i_dn_sfc * (1.0 - emis) + emis * sfc_s[0]
     up_acc[0] = jnp.sum(i_up, axis=-1) * i2f
 
     def up_step(ilay, carry):
-        trans, s = srcs(ilay, ilay + 1, jnp.minimum(ilay + 1, nlay - 1))
-        i_up_n = trans * carry + s
+        i_up_n = trans_s[ilay] * carry + sup_s[ilay]
         up_acc[ilay + 1] = jnp.sum(i_up_n, axis=-1) * i2f
         return i_up_n
 
@@ -486,8 +504,10 @@ def lw_clear_mega(
         out_specs=(red_spec, red_spec),
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # trans
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src down
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src up
+            pltpu.VMEM((1, block_cols, gp), jnp.float32),      # sfc source
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
