@@ -204,13 +204,55 @@ def solve_lw(
     if pallas_rte is None:
         pallas_rte = pallas_tables is not None and dtype == jnp.float32
 
-    # Megakernel path: whole clear-sky LW solve (optics + Planck sources +
-    # sweep) in one kernel — no tau/pfrac HBM round trip. Requires the
-    # caller-verified window invariant ("force") and 128-col-aligned ncol.
+    # Megakernel paths: whole LW solve (optics [+ cloud composition] +
+    # Planck sources + sweep) in one kernel — no (nlay, ncol, ngpt) HBM
+    # intermediates. Requires the caller-verified window invariant ("force")
+    # and 128-col-aligned ncol.
+    mega_ok = (
+        pallas_tables is not None and pallas_rte and lkp_aero is None
+        and dtype == jnp.float32 and pallas_windowed == "force"
+        and as_.ncol % 128 == 0
+    )
+    if mega_ok and two_stream and (lkp_cld is None) == (cld_mask is None):
+        from ..ops.cloud_optics import cloud_optics_bands
+        from ..ops.gas_optics_pallas import mega_lw_inputs
+        from ..ops.pallas_interp import rows_per_slab
+        from ..ops.pallas_mega import lw2_mega
+
+        window = min(pallas_window, pallas_tables.fused_hi.shape[0])
+        (q_base, pack3, eta3, _, plk_lev, plk_sfc, groups_static,
+         scal_offs) = mega_lw_inputs(
+            lkp, pallas_tables, as_, window, 128, need_lay=False
+        )
+        cld_b3 = None
+        if lkp_cld is not None:
+            tau_b, ssa_b, g_b = cloud_optics_bands(lkp_cld, as_.cloud_state)
+            cld_b3 = tuple(jnp.swapaxes(x, 1, 2) for x in (tau_b, ssa_b, g_b))
+        flux_up, flux_dn = lw2_mega(
+            q_base, pack3, eta3, plk_lev, plk_sfc,
+            bcs.sfc_emis.astype(jnp.float32),
+            pallas_tables.fused_ilv,
+            pallas_tables.minor_stack, pallas_tables.minor_proj,
+            bcs.inc_flux, cld_b3, cld_mask,
+            nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
+            n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
+            minor_groups=groups_static, scal_offs=scal_offs,
+            minor_ntp=pallas_tables.minor_ntp,
+            slab=rows_per_slab(lkp.n_temp),
+        )
+        flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
+        flux = _apply_metric_scaling(flux, metric_scaling)
+        diag = SolveDiagnostics()
+        if cld_mask is not None:
+            from ..ops.cloud_optics import cloud_cover_from_mask
+
+            diag = diag._replace(
+                cld_cover=cloud_cover_from_mask(cld_mask).astype(dtype)
+            )
+        return flux, diag
+
     if (
-        pallas_tables is not None and pallas_rte and not two_stream
-        and lkp_cld is None and lkp_aero is None and dtype == jnp.float32
-        and pallas_windowed == "force" and as_.ncol % 128 == 0
+        mega_ok and not two_stream and lkp_cld is None
     ):
         from ..ops.gas_optics_pallas import mega_lw_inputs
         from ..ops.pallas_mega import lw_clear_mega
@@ -375,12 +417,15 @@ def solve_sw(
     if pallas_rte is None:
         pallas_rte = pallas_tables is not None and dtype == jnp.float32
 
-    # Megakernel path: whole clear-sky SW solve in one kernel (see solve_lw)
+    # Megakernel path: whole SW solve (optics [+ cloud composition] + sweep)
+    # in one kernel (see solve_lw)
     if (
         pallas_tables is not None and pallas_rte and two_stream
-        and lkp_cld is None and lkp_aero is None and dtype == jnp.float32
+        and lkp_aero is None and dtype == jnp.float32
         and pallas_windowed == "force" and ncol % 128 == 0
+        and (lkp_cld is None) == (cld_mask is None)
     ):
+        from ..ops.cloud_optics import cloud_optics_bands, delta_scale
         from ..ops.gas_optics_pallas import mega_sw_inputs
         from ..ops.pallas_interp import rows_per_slab
         from ..ops.pallas_mega import sw_clear_mega
@@ -389,6 +434,13 @@ def solve_sw(
         q_base, pack3, eta3, groups_static, scal_offs = mega_sw_inputs(
             lkp, pallas_tables, as_, window
         )
+        cld_b3 = None
+        if lkp_cld is not None:
+            tau_b, ssa_b, g_b = cloud_optics_bands(lkp_cld, as_.cloud_state)
+            # delta scaling commutes with the band->gpt broadcast, so it runs
+            # at band granularity here (ref optics_utils.jl:169-177)
+            tau_b, ssa_b, g_b = delta_scale(tau_b, ssa_b, g_b)
+            cld_b3 = tuple(jnp.swapaxes(x, 1, 2) for x in (tau_b, ssa_b, g_b))
         toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]
         flux_up, flux_dn, flux_dn_dir = sw_clear_mega(
             q_base, pack3, eta3, mu0, toa_gpt,
@@ -396,7 +448,7 @@ def solve_sw(
             pallas_tables.fused_ilv,
             pallas_tables.ray_stack,
             pallas_tables.minor_stack, pallas_tables.minor_proj,
-            bcs.inc_flux_diffuse,
+            bcs.inc_flux_diffuse, cld_b3, cld_mask,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -409,7 +461,14 @@ def solve_sw(
         flux_dn_dir = jnp.where(day, flux_dn_dir, 0.0)
         flux = FluxSW(flux_up, flux_dn, flux_dn_dir, flux_up - flux_dn)
         flux = _apply_metric_scaling(flux, metric_scaling)
-        return flux, SolveDiagnostics()
+        diag = SolveDiagnostics()
+        if cld_mask is not None:
+            from ..ops.cloud_optics import cloud_cover_from_mask
+
+            diag = diag._replace(
+                cld_cover=cloud_cover_from_mask(cld_mask).astype(dtype)
+            )
+        return flux, diag
 
     if pallas_tables is not None:
         from ..ops.gas_optics_pallas import gas_optics_sw as _pallas_sw

@@ -651,7 +651,7 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac, need_lay=True):
 
 def mega_lw_inputs(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
-    block: int = 128,
+    block: int = 128, need_lay: bool = True,
 ):
     """Inputs for ops.pallas_mega.lw_clear_mega: pack/eta operands in
     layer-leading layout, band-leading Planck values, static minor metadata.
@@ -685,7 +685,11 @@ def mega_lw_inputs(
         nbp_sub=nbp,
     )
     bp = lambda t: planck_band_pallas_t(t.reshape(-1), tables.totplnk_t, **kw)
-    plk_lay = jnp.swapaxes(bp(as_.t_lay).reshape(nbp, nlay, ncol), 0, 1)
+    plk_lay = (
+        jnp.swapaxes(bp(as_.t_lay).reshape(nbp, nlay, ncol), 0, 1)
+        if need_lay
+        else None
+    )
     plk_lev = jnp.swapaxes(bp(as_.t_lev).reshape(nbp, nlay + 1, ncol), 0, 1)
     plk_sfc = bp(as_.t_sfc)
     return (

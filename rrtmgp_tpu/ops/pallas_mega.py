@@ -534,26 +534,40 @@ def lw_clear_mega(
 
 def _sw_mega_kernel(
     qb_ref,
-    pack_ref,                              # (nlay, npk, B)
-    loc1_ref, cm1_ref, loc2_ref, cm2_ref,  # (nlay, mb, B)
-    mu0_ref,                               # (1, B)
-    toa_ref,                               # (B, G) per-g-point TOA flux
-    adir_ref, adif_ref,                    # (mb, B) band albedos
-    incdif_ref,                            # (B, G)
-    kilv_hbm,                              # ANY (3*rows, W) bf16 interleaved
-    ray_ref,                               # (2*ray_rows, neta*G) bf16 [hi; lo]
-    m2_ref,                                # (2*mb, G)
-    *rest,
+    *args,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
-    slab, ray_rows,
+    slab, ray_rows, has_cloud,
 ):
-    n_groups = len(minor_groups)
+    """SW two-stream megakernel, clear or cloudy (McICA) sky.
+
+    Phase 1 (per layer): gas optics (+Rayleigh ssa), optional cloud
+    composition (band props expanded on the MXU under the per-g-point mask;
+    mirrors models.rrtmgp._add_cloud_all with gas g = 0 and pre-delta-scaled
+    cloud band values — delta scaling commutes with the band->gpt broadcast),
+    then the Zdunkowski/Meador-Weaver coefficients and the direct-beam
+    transmittance straight to VMEM scratch. Phases 2-4 are the pure direct /
+    bottom-up adding / top-down flux recurrences
+    (ref shortwave2stream.jl:226-311).
+    """
     idx = 0
-    mk_stack = rest[idx : idx + n_groups]; idx += n_groups
-    mk_proj = rest[idx : idx + n_groups]; idx += n_groups
-    up_ref, dn_ref, dir_ref = rest[idx : idx + 3]; idx += 3
-    (kilv_tab, tau_s, ssa_s, rdif_s, tdif_s, tdir_s,
-     dirf, albedo, src, up_acc, dn_acc, sem) = rest[idx : idx + 12]
+    pack_ref = args[idx]; idx += 1
+    loc1_ref, cm1_ref, loc2_ref, cm2_ref = args[idx : idx + 4]; idx += 4
+    mu0_ref = args[idx]; idx += 1                 # (1, B)
+    toa_ref = args[idx]; idx += 1                 # (B, G)
+    adir_ref, adif_ref = args[idx : idx + 2]; idx += 2  # (mb, B)
+    incdif_ref = args[idx]; idx += 1              # (B, G)
+    if has_cloud:
+        ctau_ref, cssa_ref, cg_ref = args[idx : idx + 3]; idx += 3  # (nlay, mb, B)
+        mask_ref = args[idx]; idx += 1            # (nlay, B, G) i8
+    kilv_hbm = args[idx]; idx += 1
+    ray_ref = args[idx]; idx += 1
+    m2_ref = args[idx]; idx += 1
+    n_groups = len(minor_groups)
+    mk_stack = args[idx : idx + n_groups]; idx += n_groups
+    mk_proj = args[idx : idx + n_groups]; idx += n_groups
+    up_ref, dn_ref, dir_ref = args[idx : idx + 3]; idx += 3
+    (kilv_tab, transd_s, rdir_s, tdir_s, rdif_s, tdif_s,
+     dirf, albedo, src, up_acc, dn_acc, sem) = args[idx : idx + 12]
 
     @pl.when(pl.program_id(0) == 0)
     def _load_table():
@@ -563,23 +577,6 @@ def _sw_mega_kernel(
 
     m2 = m2_ref[:]
     ray_tab = ray_ref[:]
-
-    def optics_step(l, carry):
-        tau, ssa = _optics_phase(
-            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
-            kilv_tab, mk_stack, mk_proj, ray_tab,
-            window=window, n_eta=n_eta, npad=npad, n_tables=1, sw=sw,
-            minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-            with_rayleigh=True, ray_rows=ray_rows, slab=slab,
-        )
-        tau_s[l] = tau
-        ssa_s[l] = ssa
-        return carry
-
-    jax.lax.fori_loop(0, nlay, optics_step, 0)
-
-    # SW two-stream sweep, clear sky (asymmetry g = 0); mirrors
-    # pallas_rte._sw_sweep_reduced_stream_kernel with tau/ssa from scratch
     eps = float(jnp.finfo(jnp.float32).eps)
     mu0 = mu0_ref[:].T  # (B, 1), broadcasts over g-points
     mu0_safe = jnp.maximum(mu0, eps)
@@ -591,39 +588,73 @@ def _sw_mega_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    # pass 1: direct beam TOA -> surface
+    # phase 1: optics + compose + coefficients into scratch
+    def optics_step(l, carry):
+        tau, ssa = _optics_phase(
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            kilv_tab, mk_stack, mk_proj, ray_tab,
+            window=window, n_eta=n_eta, npad=npad, n_tables=1, sw=sw,
+            minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+            with_rayleigh=True, ray_rows=ray_rows, slab=slab,
+        )
+        if has_cloud:
+            tc = expand(ctau_ref[l].T)
+            sc = expand(cssa_ref[l].T)
+            gc = expand(cg_ref[l].T)
+            m = mask_ref[l] != 0
+            # increment_2stream with gas g = 0 (ref optics_utils.jl:157-163)
+            tau_n = tau + tc
+            ssa_w = tau * ssa + tc * sc
+            g_new = (tc * sc * gc) / jnp.maximum(eps, ssa_w)
+            ssa_new = ssa_w / jnp.maximum(eps, tau_n)
+            tau = jnp.where(m, tau_n, tau)
+            g_l = jnp.where(m, g_new, 0.0)
+            ssa = jnp.where(m, ssa_new, ssa)
+        else:
+            g_l = 0.0
+        Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps)
+        transd_s[l] = jnp.exp(-tau / mu0_safe)
+        rdir_s[l] = Rdir
+        tdir_s[l] = Tdir
+        rdif_s[l] = Rdif
+        tdif_s[l] = Tdif
+        return carry
+
+    jax.lax.fori_loop(0, nlay, optics_step, 0)
+
+    # phase 2: direct beam TOA -> surface (pure multiplies)
     dir_top = toa_ref[:] * mu0
     dirf[nlay] = dir_top
 
     def dir_step(i, carry):
         ilay = nlay - 1 - i
-        d = carry * jnp.exp(-tau_s[ilay] / mu0_safe)
+        d = carry * transd_s[ilay]
         dirf[ilay] = d
         return d
 
     jax.lax.fori_loop(0, nlay, dir_step, dir_top)
 
-    # pass 2: bottom-up albedo/src; coefficients computed here and cached
+    # phase 3: bottom-up albedo/src
     albedo[0] = expand(adif_ref[:].T)
     src[0] = dirf[0] * expand(adir_ref[:].T)
 
     def up_step(ilay, carry):
         alb_i, src_i = carry
-        Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau_s[ilay], ssa_s[ilay], 0.0, mu0, eps)
-        rdif_s[ilay] = Rdif
-        tdif_s[ilay] = Tdif
-        tdir_s[ilay] = Tdir
+        Rdif = rdif_s[ilay]
+        Tdif = tdif_s[ilay]
         denom = 1.0 / (1.0 - Rdif * alb_i)
         d_above = dirf[ilay + 1]
         alb_n = Rdif + Tdif * Tdif * alb_i * denom
-        src_n = Rdir * d_above + Tdif * denom * (src_i + alb_i * Tdir * d_above)
+        src_n = rdir_s[ilay] * d_above + Tdif * denom * (
+            src_i + alb_i * tdir_s[ilay] * d_above
+        )
         albedo[ilay + 1] = alb_n
         src[ilay + 1] = src_n
         return alb_n, src_n
 
     jax.lax.fori_loop(0, nlay, up_step, (albedo[0], src[0]))
 
-    # pass 3: top-down diffuse flux + spectral reduction
+    # phase 4: top-down diffuse flux + spectral reduction
     fd_top = incdif_ref[:]
     up_acc[nlay] = jnp.sum(fd_top * albedo[nlay] + src[nlay], axis=-1)
     dn_acc[nlay] = jnp.sum(fd_top + dirf[nlay], axis=-1)
@@ -665,6 +696,9 @@ def sw_clear_mega(
     minor_stack: tuple,
     minor_proj: tuple,
     inc_flux_diffuse: jax.Array | None,
+    cld_bands: tuple | None = None,   # (tau_b, ssa_b, g_b) each (nlay, nbnd, ncol),
+                                      # PRE-delta-scaled
+    cld_mask: jax.Array | None = None,  # (nlay, ncol, ngpt) bool/i8 McICA mask
     *,
     nlay: int,
     window: int,
@@ -678,9 +712,10 @@ def sw_clear_mega(
     slab: int,
     block_cols: int = 128,
 ):
-    """Whole clear-sky SW two-stream solve in one kernel; returns
-    (flux_up, flux_dn, flux_dn_dir), each (nlev, ncol) f32, spectrally
-    reduced. Night-column zeroing is the caller's job (as in ops.rte)."""
+    """Whole SW two-stream solve (clear or McICA-cloudy) in one kernel;
+    returns (flux_up, flux_dn, flux_dn_dir), each (nlev, ncol) f32,
+    spectrally reduced. Night-column zeroing is the caller's job."""
+    has_cloud = cld_bands is not None
     ncol = pack.shape[-1]
     nlev = nlay + 1
     gp = gpt_pad(n_gpt)
@@ -705,6 +740,14 @@ def sw_clear_mega(
     eta_ops = tuple(pad_band(x, 1) for x in eta_ops)
     alb_dir = pad_band(alb_dir.astype(jnp.float32), 0)
     alb_dif = pad_band(alb_dif.astype(jnp.float32), 0)
+    if has_cloud:
+        cld_bands = tuple(
+            pad_band(x.astype(jnp.float32), 1) for x in cld_bands
+        )
+        mask_i8 = jnp.pad(
+            cld_mask.astype(jnp.int8),
+            ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
+        )
 
     padg = lambda x: jnp.pad(
         x.astype(jnp.float32), ((0, 0), (0, gp - x.shape[-1]))
@@ -733,8 +776,13 @@ def sw_clear_mega(
         _sw_mega_kernel,
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
         minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-        slab=slab, ray_rows=ray_rows,
+        slab=slab, ray_rows=ray_rows, has_cloud=has_cloud,
     )
+    mask_spec = pl.BlockSpec(
+        (nlay, block_cols, gp), lambda c, *_: (0, c, 0), memory_space=pltpu.VMEM
+    )
+    cloud_specs = [lay3(mb)] * 3 + [mask_spec] if has_cloud else []
+    cloud_ops = [*cld_bands, mask_i8] if has_cloud else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
@@ -742,6 +790,9 @@ def sw_clear_mega(
             lay3(npk),
             lay3(mb), lay3(mb), lay3(mb), lay3(mb),
             band2(1), col_spec, band2(mb), band2(mb), col_spec,
+        ]
+        + cloud_specs
+        + [
             pl.BlockSpec(memory_space=pltpu.ANY),
             full(ray_stack),
             full(m2),
@@ -751,11 +802,11 @@ def sw_clear_mega(
         out_specs=(red_spec, red_spec, red_spec),
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # tau
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # ssa
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # direct trans
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdir
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdir
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdif
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdif
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdir
             pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # dirf
             pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # albedo
             pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # src
@@ -773,6 +824,333 @@ def sw_clear_mega(
         interpret=_interpret(),
     )(
         q_base, pack, *eta_ops, mu0_2d, toa, alb_dir, alb_dif, inc,
-        kilv, ray_stack, m2, *minor_stack, *minor_proj,
+        *cloud_ops, kilv, ray_stack, m2, *minor_stack, *minor_proj,
+    )
+    return tuple(o.T for o in out)
+
+
+# ---------------------------------------------------------------------------
+# LW two-stream megakernel (all-sky): optics + cloud composition + Toon
+# sources + adding/doubling sweep
+# ---------------------------------------------------------------------------
+
+
+def _lw2_mega_kernel(
+    qb_ref,
+    *args,
+    nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp, slab,
+    has_cloud,
+):
+    """LW two-stream megakernel (ref longwave2stream.jl:110-253).
+
+    Phase 1 (per layer, ascending = surface upward, which is ALSO the
+    adding-recurrence direction): gas optics (tau, pfrac), optional McICA
+    cloud composition, level Planck source from the carried previous-layer
+    pfrac, then — one step delayed, once the layer's TOP level value exists —
+    the Meador-Weaver/Toon coefficients + linear-in-tau sources and the
+    Shonk-Hogan adding update, all straight to VMEM scratch. Phase 2 is the
+    pure top-down flux recurrence with in-kernel spectral reduction.
+    """
+    idx = 0
+    pack_ref = args[idx]; idx += 1
+    loc1_ref, cm1_ref, loc2_ref, cm2_ref = args[idx : idx + 4]; idx += 4
+    plke_ref = args[idx]; idx += 1                # (nlev, nbp, B)
+    plks_ref, emis_ref = args[idx : idx + 2]; idx += 2  # (nbp, B)
+    inc_ref = args[idx]; idx += 1                 # (B, G)
+    if has_cloud:
+        ctau_ref, cssa_ref, cg_ref = args[idx : idx + 3]; idx += 3
+        mask_ref = args[idx]; idx += 1            # (nlay, B, G) i8
+    kilv_hbm = args[idx]; idx += 1
+    m2_ref = args[idx]; idx += 1
+    n_groups = len(minor_groups)
+    mk_stack = args[idx : idx + n_groups]; idx += n_groups
+    mk_proj = args[idx : idx + n_groups]; idx += n_groups
+    up_ref, dn_ref = args[idx : idx + 2]; idx += 2
+    (kilv_tab, rdif_s, tdif_s, srcdn_s, albedo, src,
+     up_acc, dn_acc, sem) = args[idx : idx + 9]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _load_table():
+        cp = pltpu.make_async_copy(kilv_hbm, kilv_tab, sem.at[0])
+        cp.start()
+        cp.wait()
+
+    m2 = m2_ref[:]
+    eps = float(jnp.finfo(jnp.float32).eps)
+    k_min = eps ** 0.5
+    tau_thresh = 100.0 * eps
+    lw_diff_sec = 1.66
+    pi = float(jnp.pi)
+
+    def expand(v):  # (B, nbp) -> (B, G)
+        v_hi, v_lo = _split_hi_lo(v)
+        return jnp.dot(
+            jnp.concatenate([v_hi, v_lo], axis=1), m2,
+            preferred_element_type=jnp.float32,
+        )
+
+    emis_g = expand(emis_ref[:].T)
+
+    def layer_coeffs(tau, ssa, g, lev_bot, lev_top):
+        """Meador-Weaver Rdif/Tdif + Toon sources (ref :110-161)."""
+        gamma1 = lw_diff_sec * (1.0 - 0.5 * ssa * (1.0 + g))
+        gamma2 = lw_diff_sec * 0.5 * ssa * (1.0 - g)
+        k = jnp.sqrt(jnp.maximum((gamma1 + gamma2) * (gamma1 - gamma2), k_min))
+        ektau = jnp.exp(-tau * k)
+        coeff = ektau * ektau
+        rt = 1.0 / (k * (1.0 + coeff) + gamma1 * (1.0 - coeff))
+        Rdif = rt * gamma2 * (1.0 - coeff)
+        Tdif = rt * 2.0 * k * ektau
+        big = tau > tau_thresh
+        tau_safe = jnp.where(big, tau, 1.0)
+        Z = (lev_bot - lev_top) / (tau_safe * (gamma1 + gamma2))
+        src_up = jnp.where(
+            big, pi * (Z + lev_top - Rdif * (lev_top - Z) - Tdif * (Z + lev_bot)), 0.0
+        )
+        src_dn = jnp.where(
+            big, pi * (lev_bot - Z - Rdif * (Z + lev_bot) - Tdif * (lev_top - Z)), 0.0
+        )
+        return Rdif, Tdif, src_up, src_dn
+
+    def adding(alb_i, src_i, Rdif, Tdif, src_up, src_dn):
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        alb_n = Rdif + Tdif * Tdif * alb_i * denom
+        src_n = src_up + Tdif * denom * (src_i + alb_i * src_dn)
+        return alb_n, src_n
+
+    def optics_step(l, carry):
+        pf_prev, tau_p, ssa_p, g_p, lev_p, alb_c, src_c = carry
+        tau, pf = _optics_phase(
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            kilv_tab, mk_stack, mk_proj, None,
+            window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
+            minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+            with_rayleigh=False, ray_rows=0, slab=slab,
+        )
+        if has_cloud:
+            tc = expand(ctau_ref[l].T)
+            sc = expand(cssa_ref[l].T)
+            gc = expand(cg_ref[l].T)
+            m = mask_ref[l] != 0
+            # increment_2stream with gas ssa = g = 0 (ref optics_utils.jl:157-163)
+            tau_n = tau + tc
+            ssa_w = tc * sc
+            g_new = (tc * sc * gc) / jnp.maximum(eps, ssa_w)
+            ssa_new = ssa_w / jnp.maximum(eps, tau_n)
+            tau_l = jnp.where(m, tau_n, tau)
+            ssa_l = jnp.where(m, ssa_new, 0.0)
+            g_l = jnp.where(m, g_new, 0.0)
+        else:
+            tau_l = tau
+            ssa_l = jnp.zeros_like(tau)
+            g_l = jnp.zeros_like(tau)
+
+        # level l value: geometric mean of adjacent pfracs (l=0: pf_prev=pf)
+        pf_lo = jnp.where(l > 0, pf_prev, pf)
+        lev_val = expand(plke_ref[l].T) * jnp.sqrt(pf_lo * pf)
+
+        # surface boundary of the adding recurrence (alb = 1 - emis,
+        # src = pi * emis * sfc_source; ref longwave2stream.jl:182-211)
+        sfc_src = expand(plks_ref[:].T) * pf
+        alb_c = jnp.where(l == 0, 1.0 - emis_g, alb_c)
+        src_c = jnp.where(l == 0, pi * emis_g * sfc_src, src_c)
+
+        @pl.when(l == 0)
+        def _store_sfc():
+            albedo[0] = 1.0 - emis_g
+            src[0] = pi * emis_g * sfc_src
+
+        # complete layer l-1 now that its top level value (lev_val) exists
+        Rdif, Tdif, src_up, src_dn = layer_coeffs(tau_p, ssa_p, g_p, lev_p, lev_val)
+        alb_n, src_n = adding(alb_c, src_c, Rdif, Tdif, src_up, src_dn)
+
+        @pl.when(l > 0)
+        def _store_prev():
+            rdif_s[l - 1] = Rdif
+            tdif_s[l - 1] = Tdif
+            srcdn_s[l - 1] = src_dn
+            albedo[l] = alb_n
+            src[l] = src_n
+
+        keep = l > 0
+        alb_c = jnp.where(keep, alb_n, alb_c)
+        src_c = jnp.where(keep, src_n, src_c)
+        return pf, tau_l, ssa_l, g_l, lev_val, alb_c, src_c
+
+    b = up_acc.shape[1]
+    zero = jnp.zeros((b, npad), jnp.float32)
+    pf_top, tau_top, ssa_top, g_top, lev_top_prev, alb_c, src_c = jax.lax.fori_loop(
+        0, nlay, optics_step, (zero,) * 7
+    )
+    # epilogue: top layer (lev_top from the clamped neighbor pfrac)
+    lev_top = expand(plke_ref[nlay].T) * pf_top
+    Rdif, Tdif, src_up, src_dn = layer_coeffs(
+        tau_top, ssa_top, g_top, lev_top_prev, lev_top
+    )
+    alb_n, src_n = adding(alb_c, src_c, Rdif, Tdif, src_up, src_dn)
+    rdif_s[nlay - 1] = Rdif
+    tdif_s[nlay - 1] = Tdif
+    srcdn_s[nlay - 1] = src_dn
+    albedo[nlay] = alb_n
+    src[nlay] = src_n
+
+    # phase 2: top-down diffuse flux + spectral reduction (ref :182-253)
+    fd_top = inc_ref[:]
+    up_acc[nlay] = jnp.sum(fd_top * alb_n + src_n, axis=-1)
+    dn_acc[nlay] = jnp.sum(fd_top, axis=-1)
+
+    def down_step(i, carry):
+        ilay = nlay - 1 - i
+        alb_i = albedo[ilay]
+        src_i = src[ilay]
+        Rdif = rdif_s[ilay]
+        denom = 1.0 / (1.0 - Rdif * alb_i)
+        fd = (tdif_s[ilay] * carry + Rdif * src_i + srcdn_s[ilay]) * denom
+        up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
+        dn_acc[ilay] = jnp.sum(fd, axis=-1)
+        return fd
+
+    jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    up_ref[:] = up_acc[:].T
+    dn_ref[:] = dn_acc[:].T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nlay", "window", "n_eta", "n_gpt", "n_bnd", "bnd_lims_gpt",
+        "minor_groups", "scal_offs", "minor_ntp", "slab", "block_cols",
+    ),
+)
+def lw2_mega(
+    q_base: jax.Array,        # (nlay,) int32
+    pack: jax.Array,          # (nlay, npk, ncol) f32
+    eta_ops: tuple,           # 4 x (nlay, nbnd, ncol) f32
+    plk_lev: jax.Array,       # (nlev, nbp, ncol)
+    plk_sfc: jax.Array,       # (nbp, ncol)
+    sfc_emis: jax.Array,      # (nbnd, ncol)
+    kilv: jax.Array,          # (3*rows, W) bf16 interleaved fused table
+    minor_stack: tuple,
+    minor_proj: tuple,
+    inc_flux: jax.Array | None,
+    cld_bands: tuple | None = None,   # (tau_b, ssa_b, g_b) each (nlay, nbnd, ncol)
+    cld_mask: jax.Array | None = None,  # (nlay, ncol, ngpt) bool McICA mask
+    *,
+    nlay: int,
+    window: int,
+    n_eta: int,
+    n_gpt: int,
+    n_bnd: int,
+    bnd_lims_gpt: tuple,
+    minor_groups: tuple,
+    scal_offs: tuple,
+    minor_ntp: int,
+    slab: int,
+    block_cols: int = 128,
+):
+    """Whole LW two-stream solve (clear or McICA-cloudy) in one kernel;
+    returns (flux_up, flux_dn), each (nlev, ncol) f32, spectrally reduced."""
+    has_cloud = cld_bands is not None
+    ncol = pack.shape[-1]
+    nlev = nlay + 1
+    gp = gpt_pad(n_gpt)
+    assert ncol % block_cols == 0, (ncol, block_cols)
+    nblk = ncol // block_cols
+    npad = gp
+    sw = 2 * npad  # kmajor + planck fraction in the fused rows
+    nbp = plk_lev.shape[1]
+
+    mb = max(-(-n_bnd // 8) * 8, nbp)
+    m_pad = np.zeros((mb, gp), np.float32)
+    for i, (g0, g1) in enumerate(bnd_lims_gpt):
+        m_pad[i, g0:g1] = 1.0
+    m2 = jnp.asarray(np.concatenate([m_pad, m_pad], axis=0), jnp.bfloat16)
+
+    def pad_band(x, axis):
+        if x.shape[axis] == mb:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, mb - x.shape[axis])
+        return jnp.pad(x, w)
+
+    eta_ops = tuple(pad_band(x, 1) for x in eta_ops)
+    sfc_emis = pad_band(sfc_emis.astype(jnp.float32), 0)
+    plk_lev = pad_band(plk_lev, 1)
+    plk_sfc = pad_band(plk_sfc, 0)
+    if has_cloud:
+        cld_bands = tuple(pad_band(x.astype(jnp.float32), 1) for x in cld_bands)
+        mask_i8 = jnp.pad(
+            cld_mask.astype(jnp.int8),
+            ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
+        )
+    nbp = mb
+
+    inc = (
+        jnp.zeros((ncol, gp), jnp.float32)
+        if inc_flux is None
+        else jnp.pad(inc_flux.astype(jnp.float32), ((0, 0), (0, gp - inc_flux.shape[-1])))
+    )
+
+    lay3 = lambda d1: pl.BlockSpec(
+        (nlay, d1, block_cols), lambda c, *_: (0, 0, c), memory_space=pltpu.VMEM
+    )
+    lev3 = lambda d1: pl.BlockSpec(
+        (nlev, d1, block_cols), lambda c, *_: (0, 0, c), memory_space=pltpu.VMEM
+    )
+    band2 = lambda d0: pl.BlockSpec(
+        (d0, block_cols), lambda c, *_: (0, c), memory_space=pltpu.VMEM
+    )
+    col_spec = pl.BlockSpec((block_cols, gp), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
+    red_spec = pl.BlockSpec((block_cols, nlev), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda c, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(
+        (nlay, block_cols, gp), lambda c, *_: (0, c, 0), memory_space=pltpu.VMEM
+    )
+
+    npk = pack.shape[1]
+    kernel = functools.partial(
+        _lw2_mega_kernel,
+        nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
+        minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
+        slab=slab, has_cloud=has_cloud,
+    )
+    cloud_specs = [lay3(mb)] * 3 + [mask_spec] if has_cloud else []
+    cloud_ops = [*cld_bands, mask_i8] if has_cloud else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            lay3(npk),
+            lay3(mb), lay3(mb), lay3(mb), lay3(mb),
+            lev3(nbp), band2(nbp), band2(sfc_emis.shape[0]),
+            col_spec,
+        ]
+        + cloud_specs
+        + [pl.BlockSpec(memory_space=pltpu.ANY), full(m2)]
+        + [full(k) for k in minor_stack]
+        + [full(p) for p in minor_proj],
+        out_specs=(red_spec, red_spec),
+        scratch_shapes=[
+            pltpu.VMEM(kilv.shape, jnp.bfloat16),
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdif
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdif
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src down
+            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # albedo
+            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # src
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(2)
+        ),
+        interpret=_interpret(),
+    )(
+        q_base, pack, *eta_ops, plk_lev, plk_sfc, sfc_emis, inc,
+        *cloud_ops, kilv, m2, *minor_stack, *minor_proj,
     )
     return tuple(o.T for o in out)

@@ -163,3 +163,98 @@ def test_sw_clear_megakernel_matches_xla():
         scale = np.abs(a).max() + 1e-30
         assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
     assert np.all(np.asarray(out.flux_dn)[:, ::7] == 0.0)
+
+
+def _cloudy_setup(longwave, ncol=128):
+    import jax
+
+    from rrtmgp_tpu.data.synthetic import synthetic_cloud_lookup
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+
+    lkp = synthetic_gas_lookup(
+        longwave=longwave, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32
+    )
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32, with_clouds=True)
+    lkp_cld = synthetic_cloud_lookup(n_bnd=4, dtype=np.float32)
+    mask = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, lkp.n_gpt)
+    return lkp, atm, lkp_cld, mask
+
+
+def test_lw2_cloudy_megakernel_matches_xla():
+    """LW two-stream megakernel with McICA cloud composition vs XLA path."""
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import LwBCs
+
+    ncol = 128
+    lkp, atm, lkp_cld, mask = _cloudy_setup(True, ncol)
+    bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
+    win = compute_min_window(lkp, atm)
+    kw = dict(two_stream=True, lkp_cld=lkp_cld, cld_mask=mask)
+    ref, dref = solve_lw(lkp, atm, bcs, pallas_rte=False, **kw)
+    tabs = gp.build_pallas_tables(lkp)
+    out, dout = solve_lw(
+        lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
+        pallas_windowed="force", pallas_window=win, **kw,
+    )
+    for name in ("flux_up", "flux_dn", "flux_net"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
+    np.testing.assert_allclose(
+        np.asarray(dref.cld_cover), np.asarray(dout.cld_cover), rtol=1e-6
+    )
+
+
+def test_lw2_clear_megakernel_matches_xla():
+    """LW two-stream megakernel without clouds vs XLA path."""
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import LwBCs
+
+    ncol = 128
+    lkp = synthetic_gas_lookup(longwave=True, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32)
+    bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
+    win = compute_min_window(lkp, atm)
+    ref, _ = solve_lw(lkp, atm, bcs, pallas_rte=False, two_stream=True)
+    tabs = gp.build_pallas_tables(lkp)
+    out, _ = solve_lw(
+        lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True, two_stream=True,
+        pallas_windowed="force", pallas_window=win,
+    )
+    for name in ("flux_up", "flux_dn", "flux_net"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
+
+
+def test_sw_cloudy_megakernel_matches_xla():
+    """SW megakernel with McICA cloud composition vs XLA path."""
+    from rrtmgp_tpu.models.rrtmgp import solve_sw
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import SwBCs
+
+    ncol = 128
+    lkp, atm, lkp_cld, mask = _cloudy_setup(False, ncol)
+    bcs = SwBCs(
+        cos_zenith=jnp.full((ncol,), 0.6, jnp.float32),
+        toa_flux=jnp.full((ncol,), 1361.0, jnp.float32),
+        sfc_alb_direct=jnp.full((lkp.n_bnd, ncol), 0.2, jnp.float32),
+        sfc_alb_diffuse=jnp.full((lkp.n_bnd, ncol), 0.25, jnp.float32),
+    )
+    win = compute_min_window(lkp, atm)
+    kw = dict(lkp_cld=lkp_cld, cld_mask=mask)
+    ref, _ = solve_sw(lkp, atm, bcs, pallas_rte=False, **kw)
+    tabs = gp.build_pallas_tables(lkp)
+    out, _ = solve_sw(
+        lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
+        pallas_windowed="force", pallas_window=win, **kw,
+    )
+    for name in ("flux_up", "flux_dn", "flux_dn_dir", "flux_net"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
