@@ -39,6 +39,7 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
     import jax.numpy as jnp
 
     from rrtmgp_tpu.data.synthetic import (
+        synthetic_aerosol_lookup,
         synthetic_atmosphere,
         synthetic_cloud_lookup,
         synthetic_gas_lookup,
@@ -54,7 +55,8 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
     lkp_lw = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=dtype)
     lkp_sw = synthetic_gas_lookup(longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype)
     atm = synthetic_atmosphere(
-        ncol=ncol_pad, nlay=nlay, dtype=dtype, with_clouds=(mode == "allsky")
+        ncol=ncol_pad, nlay=nlay, dtype=dtype, with_clouds=(mode != "clear"),
+        with_aerosols=(mode == "aerosky"),
     )
     bcs_lw = LwBCs(sfc_emis=jnp.full((16, ncol_pad), 0.98, jnp.float32))
     bcs_sw = SwBCs(
@@ -87,10 +89,15 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
     pk_sw = dict(pallas_tables=tabs_sw, pallas_window=win_sw,
                  pallas_sweep_cols=scols, pallas_windowed="force")
 
-    lkp_cld_lw = lkp_cld_sw = None
-    if mode == "allsky":
+    lkp_cld_lw = lkp_cld_sw = lkp_aero_lw = lkp_aero_sw = None
+    if mode != "clear":
         lkp_cld_lw = synthetic_cloud_lookup(n_bnd=16, dtype=dtype)
         lkp_cld_sw = synthetic_cloud_lookup(n_bnd=14, seed=5, dtype=dtype)
+    if mode == "aerosky":
+        # all-sky WITH aerosols: the reference's headline all-sky workload
+        # (ref test/all_sky_with_aerosols_dyamond_gpu_benchmark.jl)
+        lkp_aero_lw = synthetic_aerosol_lookup(n_bnd=16, dtype=dtype)
+        lkp_aero_sw = synthetic_aerosol_lookup(n_bnd=14, seed=9, dtype=dtype)
 
     if mode == "clear":
 
@@ -118,7 +125,8 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
         def f_lw(a, b, m):
             return solve_chunked(
                 lambda ac, bc, mc: solve_lw(
-                    lkp_lw, ac, bc, two_stream=True, lkp_cld=lkp_cld_lw, cld_mask=mc,
+                    lkp_lw, ac, bc, two_stream=True, lkp_cld=lkp_cld_lw,
+                    lkp_aero=lkp_aero_lw, cld_mask=mc,
                     **pk_lw,
                 )[0],
                 a, b, chunk, cld_mask=m,
@@ -128,7 +136,8 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
         def f_sw(a, b, m):
             return solve_chunked(
                 lambda ac, bc, mc: solve_sw(
-                    lkp_sw, ac, bc, lkp_cld=lkp_cld_sw, cld_mask=mc,
+                    lkp_sw, ac, bc, lkp_cld=lkp_cld_sw, lkp_aero=lkp_aero_sw,
+                    cld_mask=mc,
                     **pk_sw,
                 )[0],
                 a, b, chunk, cld_mask=m,
@@ -155,7 +164,9 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", nargs="?", default="clear", choices=["clear", "allsky"])
+    ap.add_argument(
+        "mode", nargs="?", default="clear", choices=["clear", "allsky", "aerosky"]
+    )
     ap.add_argument("--ncol", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--iters", type=int, default=10)

@@ -135,6 +135,31 @@ def _add_cloud_all(lkp, lkp_cld, as_, tau, ssa, g_asym, cld_mask, delta_scaling)
     )
 
 
+def _aerosol_bands_masked(lkp_aero, as_, delta_scaling, collect_aod):
+    """Band-level aerosol two-stream props + active mask for the megakernels.
+
+    Identical arithmetic to _add_aerosol_all's pre-increment stage — the
+    ssa/g ratio forms and delta scaling are pointwise in band-constant
+    values, so they commute exactly with the band->g-point broadcast."""
+    eps = float(jnp.finfo(as_.p_lay.dtype).eps)
+    aero = as_.aerosol_state
+    active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
+    t_b, ts_b, tsg_b = aerosol_optics_bands(lkp_aero, aero, as_.rel_hum)
+    t_b = jnp.where(active[..., None], t_b, 0.0)
+    ts_b = jnp.where(active[..., None], ts_b, 0.0)
+    tsg_b = jnp.where(active[..., None], tsg_b, 0.0)
+    aod_ext = aod_sca = None
+    if collect_aod and lkp_aero.iband_550nm >= 0:
+        aod_ext = jnp.sum(t_b[:, :, lkp_aero.iband_550nm], axis=0)
+        aod_sca = jnp.sum(ts_b[:, :, lkp_aero.iband_550nm], axis=0)
+    g_a = tsg_b / jnp.maximum(eps, ts_b)
+    ssa_a = ts_b / jnp.maximum(eps, t_b)
+    if delta_scaling:
+        t_b, ssa_a, g_a = delta_scale(t_b, ssa_a, g_a)
+    b3 = tuple(jnp.swapaxes(x, 1, 2) for x in (t_b, ssa_a, g_a))
+    return b3, active, aod_ext, aod_sca
+
+
 def _add_aerosol_all(lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling, collect_aod):
     """Aerosol optics per band, expanded to g-points (ref aerosol_optics.jl)."""
     eps = float(jnp.finfo(tau.dtype).eps)
@@ -209,7 +234,7 @@ def solve_lw(
     # intermediates. Requires the caller-verified window invariant ("force")
     # and 128-col-aligned ncol.
     mega_ok = (
-        pallas_tables is not None and pallas_rte and lkp_aero is None
+        pallas_tables is not None and pallas_rte
         and dtype == jnp.float32 and pallas_windowed == "force"
         and as_.ncol % 128 == 0
     )
@@ -228,12 +253,17 @@ def solve_lw(
         if lkp_cld is not None:
             tau_b, ssa_b, g_b = cloud_optics_bands(lkp_cld, as_.cloud_state)
             cld_b3 = tuple(jnp.swapaxes(x, 1, 2) for x in (tau_b, ssa_b, g_b))
+        aero_b3 = aero_act = None
+        if lkp_aero is not None:
+            aero_b3, aero_act, _, _ = _aerosol_bands_masked(
+                lkp_aero, as_, delta_scaling=False, collect_aod=False
+            )
         flux_up, flux_dn = lw2_mega(
             q_base, pack3, eta3, plk_lev, plk_sfc,
             bcs.sfc_emis.astype(jnp.float32),
             pallas_tables.fused_ilv,
             pallas_tables.minor_stack, pallas_tables.minor_proj,
-            bcs.inc_flux, cld_b3, cld_mask,
+            bcs.inc_flux, cld_b3, cld_mask, aero_b3, aero_act,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -252,7 +282,7 @@ def solve_lw(
         return flux, diag
 
     if (
-        mega_ok and not two_stream and lkp_cld is None
+        mega_ok and not two_stream and lkp_cld is None and lkp_aero is None
     ):
         from ..ops.gas_optics_pallas import mega_lw_inputs
         from ..ops.pallas_mega import lw_clear_mega
@@ -421,7 +451,7 @@ def solve_sw(
     # in one kernel (see solve_lw)
     if (
         pallas_tables is not None and pallas_rte and two_stream
-        and lkp_aero is None and dtype == jnp.float32
+        and dtype == jnp.float32
         and pallas_windowed == "force" and ncol % 128 == 0
         and (lkp_cld is None) == (cld_mask is None)
     ):
@@ -441,6 +471,11 @@ def solve_sw(
             # at band granularity here (ref optics_utils.jl:169-177)
             tau_b, ssa_b, g_b = delta_scale(tau_b, ssa_b, g_b)
             cld_b3 = tuple(jnp.swapaxes(x, 1, 2) for x in (tau_b, ssa_b, g_b))
+        aero_b3 = aero_act = aod_ext = aod_sca = None
+        if lkp_aero is not None:
+            aero_b3, aero_act, aod_ext, aod_sca = _aerosol_bands_masked(
+                lkp_aero, as_, delta_scaling=True, collect_aod=True
+            )
         toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]
         flux_up, flux_dn, flux_dn_dir = sw_clear_mega(
             q_base, pack3, eta3, mu0, toa_gpt,
@@ -448,7 +483,7 @@ def solve_sw(
             pallas_tables.fused_ilv,
             pallas_tables.ray_stack,
             pallas_tables.minor_stack, pallas_tables.minor_proj,
-            bcs.inc_flux_diffuse, cld_b3, cld_mask,
+            bcs.inc_flux_diffuse, cld_b3, cld_mask, aero_b3, aero_act,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -461,7 +496,7 @@ def solve_sw(
         flux_dn_dir = jnp.where(day, flux_dn_dir, 0.0)
         flux = FluxSW(flux_up, flux_dn, flux_dn_dir, flux_up - flux_dn)
         flux = _apply_metric_scaling(flux, metric_scaling)
-        diag = SolveDiagnostics()
+        diag = SolveDiagnostics(aod_sw_ext=aod_ext, aod_sw_sca=aod_sca)
         if cld_mask is not None:
             from ..ops.cloud_optics import cloud_cover_from_mask
 

@@ -536,9 +536,9 @@ def _sw_mega_kernel(
     qb_ref,
     *args,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
-    slab, ray_rows, has_cloud,
+    slab, ray_rows, has_cloud, has_aero,
 ):
-    """SW two-stream megakernel, clear or cloudy (McICA) sky.
+    """SW two-stream megakernel, clear / cloudy (McICA) / aerosol sky.
 
     Phase 1 (per layer): gas optics (+Rayleigh ssa), optional cloud
     composition (band props expanded on the MXU under the per-g-point mask;
@@ -559,6 +559,9 @@ def _sw_mega_kernel(
     if has_cloud:
         ctau_ref, cssa_ref, cg_ref = args[idx : idx + 3]; idx += 3  # (nlay, mb, B)
         mask_ref = args[idx]; idx += 1            # (nlay, B, G) i8
+    if has_aero:
+        atau_ref, assa_ref, ag_ref = args[idx : idx + 3]; idx += 3  # (nlay, mb, B)
+        amask_ref = args[idx]; idx += 1           # (nlay, 8, B) f32 (row 0 used)
     kilv_hbm = args[idx]; idx += 1
     ray_ref = args[idx]; idx += 1
     m2_ref = args[idx]; idx += 1
@@ -611,7 +614,19 @@ def _sw_mega_kernel(
             g_l = jnp.where(m, g_new, 0.0)
             ssa = jnp.where(m, ssa_new, ssa)
         else:
-            g_l = 0.0
+            g_l = jnp.zeros_like(tau) if has_aero else 0.0
+        if has_aero:
+            ta = expand(atau_ref[l].T)
+            sa = expand(assa_ref[l].T)
+            ga = expand(ag_ref[l].T)
+            ma = amask_ref[l][0:1].T > 0.0  # (B, 1)
+            tau_n = tau + ta
+            ssa_w = tau * ssa + ta * sa
+            g_new = (tau * ssa * g_l + ta * sa * ga) / jnp.maximum(eps, ssa_w)
+            ssa_new = ssa_w / jnp.maximum(eps, tau_n)
+            tau = jnp.where(ma, tau_n, tau)
+            g_l = jnp.where(ma, g_new, g_l)
+            ssa = jnp.where(ma, ssa_new, ssa)
         Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps)
         transd_s[l] = jnp.exp(-tau / mu0_safe)
         rdir_s[l] = Rdir
@@ -699,6 +714,8 @@ def sw_clear_mega(
     cld_bands: tuple | None = None,   # (tau_b, ssa_b, g_b) each (nlay, nbnd, ncol),
                                       # PRE-delta-scaled
     cld_mask: jax.Array | None = None,  # (nlay, ncol, ngpt) bool/i8 McICA mask
+    aero_bands: tuple | None = None,  # (tau_b, ssa_b, g_b), PRE-delta-scaled
+    aero_mask: jax.Array | None = None,  # (nlay, ncol) active mask
     *,
     nlay: int,
     window: int,
@@ -712,10 +729,11 @@ def sw_clear_mega(
     slab: int,
     block_cols: int = 128,
 ):
-    """Whole SW two-stream solve (clear or McICA-cloudy) in one kernel;
-    returns (flux_up, flux_dn, flux_dn_dir), each (nlev, ncol) f32,
+    """Whole SW two-stream solve (clear / McICA-cloudy / aerosol) in one
+    kernel; returns (flux_up, flux_dn, flux_dn_dir), each (nlev, ncol) f32,
     spectrally reduced. Night-column zeroing is the caller's job."""
     has_cloud = cld_bands is not None
+    has_aero = aero_bands is not None
     ncol = pack.shape[-1]
     nlev = nlay + 1
     gp = gpt_pad(n_gpt)
@@ -748,6 +766,13 @@ def sw_clear_mega(
             cld_mask.astype(jnp.int8),
             ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
         )
+    if has_aero:
+        aero_bands = tuple(
+            pad_band(x.astype(jnp.float32), 1) for x in aero_bands
+        )
+        amask8 = jnp.broadcast_to(
+            aero_mask.astype(jnp.float32)[:, None, :], (nlay, 8, ncol)
+        )
 
     padg = lambda x: jnp.pad(
         x.astype(jnp.float32), ((0, 0), (0, gp - x.shape[-1]))
@@ -776,13 +801,16 @@ def sw_clear_mega(
         _sw_mega_kernel,
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
         minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-        slab=slab, ray_rows=ray_rows, has_cloud=has_cloud,
+        slab=slab, ray_rows=ray_rows, has_cloud=has_cloud, has_aero=has_aero,
     )
     mask_spec = pl.BlockSpec(
         (nlay, block_cols, gp), lambda c, *_: (0, c, 0), memory_space=pltpu.VMEM
     )
     cloud_specs = [lay3(mb)] * 3 + [mask_spec] if has_cloud else []
     cloud_ops = [*cld_bands, mask_i8] if has_cloud else []
+    if has_aero:
+        cloud_specs += [lay3(mb)] * 3 + [lay3(8)]
+        cloud_ops += [*aero_bands, amask8]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
@@ -839,7 +867,7 @@ def _lw2_mega_kernel(
     qb_ref,
     *args,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp, slab,
-    has_cloud,
+    has_cloud, has_aero,
 ):
     """LW two-stream megakernel (ref longwave2stream.jl:110-253).
 
@@ -860,6 +888,9 @@ def _lw2_mega_kernel(
     if has_cloud:
         ctau_ref, cssa_ref, cg_ref = args[idx : idx + 3]; idx += 3
         mask_ref = args[idx]; idx += 1            # (nlay, B, G) i8
+    if has_aero:
+        atau_ref, assa_ref, ag_ref = args[idx : idx + 3]; idx += 3
+        amask_ref = args[idx]; idx += 1           # (nlay, 8, B) f32 (row 0 used)
     kilv_hbm = args[idx]; idx += 1
     m2_ref = args[idx]; idx += 1
     n_groups = len(minor_groups)
@@ -944,6 +975,18 @@ def _lw2_mega_kernel(
             tau_l = tau
             ssa_l = jnp.zeros_like(tau)
             g_l = jnp.zeros_like(tau)
+        if has_aero:
+            ta = expand(atau_ref[l].T)
+            sa = expand(assa_ref[l].T)
+            ga = expand(ag_ref[l].T)
+            ma = amask_ref[l][0:1].T > 0.0  # (B, 1)
+            tau_n = tau_l + ta
+            ssa_w = tau_l * ssa_l + ta * sa
+            g_new = (tau_l * ssa_l * g_l + ta * sa * ga) / jnp.maximum(eps, ssa_w)
+            ssa_new = ssa_w / jnp.maximum(eps, tau_n)
+            tau_l = jnp.where(ma, tau_n, tau_l)
+            g_l = jnp.where(ma, g_new, g_l)
+            ssa_l = jnp.where(ma, ssa_new, ssa_l)
 
         # level l value: geometric mean of adjacent pfracs (l=0: pf_prev=pf)
         pf_lo = jnp.where(l > 0, pf_prev, pf)
@@ -1035,6 +1078,8 @@ def lw2_mega(
     inc_flux: jax.Array | None,
     cld_bands: tuple | None = None,   # (tau_b, ssa_b, g_b) each (nlay, nbnd, ncol)
     cld_mask: jax.Array | None = None,  # (nlay, ncol, ngpt) bool McICA mask
+    aero_bands: tuple | None = None,  # (tau_b, ssa_b, g_b) each (nlay, nbnd, ncol)
+    aero_mask: jax.Array | None = None,  # (nlay, ncol) active mask
     *,
     nlay: int,
     window: int,
@@ -1048,9 +1093,10 @@ def lw2_mega(
     slab: int,
     block_cols: int = 128,
 ):
-    """Whole LW two-stream solve (clear or McICA-cloudy) in one kernel;
-    returns (flux_up, flux_dn), each (nlev, ncol) f32, spectrally reduced."""
+    """Whole LW two-stream solve (clear / McICA-cloudy / aerosol) in one
+    kernel; returns (flux_up, flux_dn), each (nlev, ncol) f32, reduced."""
     has_cloud = cld_bands is not None
+    has_aero = aero_bands is not None
     ncol = pack.shape[-1]
     nlev = nlay + 1
     gp = gpt_pad(n_gpt)
@@ -1083,6 +1129,11 @@ def lw2_mega(
             cld_mask.astype(jnp.int8),
             ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
         )
+    if has_aero:
+        aero_bands = tuple(pad_band(x.astype(jnp.float32), 1) for x in aero_bands)
+        amask8 = jnp.broadcast_to(
+            aero_mask.astype(jnp.float32)[:, None, :], (nlay, 8, ncol)
+        )
     nbp = mb
 
     inc = (
@@ -1112,10 +1163,13 @@ def lw2_mega(
         _lw2_mega_kernel,
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
         minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-        slab=slab, has_cloud=has_cloud,
+        slab=slab, has_cloud=has_cloud, has_aero=has_aero,
     )
     cloud_specs = [lay3(mb)] * 3 + [mask_spec] if has_cloud else []
     cloud_ops = [*cld_bands, mask_i8] if has_cloud else []
+    if has_aero:
+        cloud_specs += [lay3(mb)] * 3 + [lay3(8)]
+        cloud_ops += [*aero_bands, amask8]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),

@@ -258,3 +258,62 @@ def test_sw_cloudy_megakernel_matches_xla():
         b = np.asarray(getattr(out, name))
         scale = np.abs(a).max() + 1e-30
         assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
+
+
+def test_allsky_aerosol_megakernels_match_xla():
+    """LW two-stream + SW megakernels with cloud AND aerosol composition."""
+    import jax
+
+    from rrtmgp_tpu.data.synthetic import synthetic_aerosol_lookup, synthetic_cloud_lookup
+    from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import LwBCs, SwBCs
+
+    ncol = 128
+    atm = synthetic_atmosphere(
+        ncol=ncol, nlay=NLAY, dtype=np.float32, with_clouds=True, with_aerosols=True
+    )
+    for longwave in (True, False):
+        lkp = synthetic_gas_lookup(
+            longwave=longwave, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32
+        )
+        lkp_cld = synthetic_cloud_lookup(n_bnd=4, dtype=np.float32)
+        lkp_aero = synthetic_aerosol_lookup(n_bnd=4, dtype=np.float32)
+        mask = build_cloud_mask_mcica(
+            jax.random.key(0), atm.cloud_state.cld_frac, lkp.n_gpt
+        )
+        win = compute_min_window(lkp, atm)
+        tabs = gp.build_pallas_tables(lkp)
+        kw = dict(lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=mask)
+        if longwave:
+            bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
+            ref, _ = solve_lw(lkp, atm, bcs, pallas_rte=False, two_stream=True, **kw)
+            out, _ = solve_lw(
+                lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True, two_stream=True,
+                pallas_windowed="force", pallas_window=win, **kw,
+            )
+            names = ("flux_up", "flux_dn", "flux_net")
+        else:
+            bcs = SwBCs(
+                cos_zenith=jnp.full((ncol,), 0.6, jnp.float32),
+                toa_flux=jnp.full((ncol,), 1361.0, jnp.float32),
+                sfc_alb_direct=jnp.full((lkp.n_bnd, ncol), 0.2, jnp.float32),
+                sfc_alb_diffuse=jnp.full((lkp.n_bnd, ncol), 0.25, jnp.float32),
+            )
+            ref, dref = solve_sw(lkp, atm, bcs, pallas_rte=False, **kw)
+            out, dout = solve_sw(
+                lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
+                pallas_windowed="force", pallas_window=win, **kw,
+            )
+            names = ("flux_up", "flux_dn", "flux_dn_dir", "flux_net")
+            np.testing.assert_allclose(
+                np.asarray(dref.aod_sw_ext), np.asarray(dout.aod_sw_ext), rtol=1e-6
+            )
+        for name in names:
+            a = np.asarray(getattr(ref, name))
+            b = np.asarray(getattr(out, name))
+            scale = np.abs(a).max() + 1e-30
+            assert np.abs(a - b).max() / scale < 1e-4, (
+                longwave, name, np.abs(a - b).max() / scale,
+            )
