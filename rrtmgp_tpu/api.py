@@ -210,6 +210,7 @@ class RRTMGPSolver:
         two_stream_lw: bool = True,
         two_stream_sw: bool = True,
         data_dir: str | None = None,
+        pallas_windowed: str = "force",
     ):
         self.grid_params = grid_params
         self.radiation_method = radiation_method
@@ -221,6 +222,11 @@ class RRTMGPSolver:
         self.face_z = face_z
         self.two_stream_lw = two_stream_lw
         self.two_stream_sw = two_stream_sw
+        # "force" (default) trusts the init-computed table window (+1 bucket
+        # of margin, see _build_solvers) and enables the single-kernel solves
+        # (ops/pallas_mega.py); "auto" adds a runtime invariant check with a
+        # full-width fallback for hosts that mutate p/t far beyond init.
+        self.pallas_windowed = pallas_windowed
         if lookups is None:
             import numpy as np
 
@@ -255,10 +261,10 @@ class RRTMGPSolver:
 
         # Pallas kernel tables on TPU (fused MXU interpolation path), plus the
         # static perf knobs derived eagerly at init: the minimal table window
-        # for this atmosphere's p/t spread and the large sweep blocks enabled
-        # by the raised scoped-VMEM jit option. windowed stays "auto": if the
-        # host mutates the state beyond the initial window, the runtime cond
-        # falls back to the full-width kernel (correct, slower).
+        # for this atmosphere's p/t spread (+16 rows of margin — roughly 4
+        # temperature-grid steps of host drift — so the default "force" mode
+        # stays valid through time stepping) and the large sweep blocks
+        # enabled by the raised scoped-VMEM jit option.
         from .utils.compile import sweep_block_cols, tpu_compiler_options
 
         tabs_lw = tabs_sw = None
@@ -268,8 +274,9 @@ class RRTMGPSolver:
 
             tabs_lw = build_pallas_tables(lk.lookup_lw)
             tabs_sw = build_pallas_tables(lk.lookup_sw)
-            win_lw = compute_min_window(lk.lookup_lw, self.as_)
-            win_sw = compute_min_window(lk.lookup_sw, self.as_)
+            margin = 16 if self.pallas_windowed == "force" else 0
+            win_lw = compute_min_window(lk.lookup_lw, self.as_) + margin
+            win_sw = compute_min_window(lk.lookup_sw, self.as_) + margin
         self._pallas_lw = tabs_lw
         self._pallas_sw = tabs_sw
         copts = tpu_compiler_options()
@@ -278,16 +285,20 @@ class RRTMGPSolver:
         lw_aero = lk.lookup_lw_aero if aero else None
         sw_aero = lk.lookup_sw_aero if aero else None
 
+        wmode = self.pallas_windowed
+
         def lw_clear(atm, bcs):
             return _solvers.solve_lw(
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
                 pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols,
+                pallas_windowed=wmode,
             )
 
         def sw_clear(atm, bcs):
             return _solvers.solve_sw(
                 lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw, lkp_aero=sw_aero,
                 pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols,
+                pallas_windowed=wmode,
             )
 
         self._lw_clear = jax.jit(lw_clear, compiler_options=copts)
@@ -303,7 +314,7 @@ class RRTMGPSolver:
                     lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw,
                     lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero, cld_mask=mask,
                     pallas_tables=tabs_lw, pallas_window=win_lw,
-                    pallas_sweep_cols=scols,
+                    pallas_sweep_cols=scols, pallas_windowed=wmode,
                 )
 
             def sw_cloudy(atm, bcs, key):
@@ -314,7 +325,7 @@ class RRTMGPSolver:
                     lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw,
                     lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero, cld_mask=mask,
                     pallas_tables=tabs_sw, pallas_window=win_sw,
-                    pallas_sweep_cols=scols,
+                    pallas_sweep_cols=scols, pallas_windowed=wmode,
                 )
 
             self._lw_cloudy = jax.jit(lw_cloudy, compiler_options=copts)
