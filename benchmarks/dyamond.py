@@ -93,11 +93,17 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
     if mode != "clear":
         lkp_cld_lw = synthetic_cloud_lookup(n_bnd=16, dtype=dtype)
         lkp_cld_sw = synthetic_cloud_lookup(n_bnd=14, seed=5, dtype=dtype)
+    aero_species = None
     if mode == "aerosky":
         # all-sky WITH aerosols: the reference's headline all-sky workload
         # (ref test/all_sky_with_aerosols_dyamond_gpu_benchmark.jl)
         lkp_aero_lw = synthetic_aerosol_lookup(n_bnd=16, dtype=dtype)
         lkp_aero_sw = synthetic_aerosol_lookup(n_bnd=14, seed=9, dtype=dtype)
+        # static active-species set, inspected once at init (hosts know
+        # which MERRA species they load)
+        m = np.asarray(atm.aerosol_state.aero_mass)
+        aero_species = tuple(int(i) for i in np.nonzero(m.any(axis=(1, 2)))[0])
+        print(f"active aerosol species: {aero_species}")
 
     if mode == "clear":
 
@@ -127,6 +133,7 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
                 lambda ac, bc, mc: solve_lw(
                     lkp_lw, ac, bc, two_stream=True, lkp_cld=lkp_cld_lw,
                     lkp_aero=lkp_aero_lw, cld_mask=mc,
+                    aero_species=aero_species,
                     **pk_lw,
                 )[0],
                 a, b, chunk, cld_mask=m,
@@ -137,7 +144,7 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
             return solve_chunked(
                 lambda ac, bc, mc: solve_sw(
                     lkp_sw, ac, bc, lkp_cld=lkp_cld_sw, lkp_aero=lkp_aero_sw,
-                    cld_mask=mc,
+                    cld_mask=mc, aero_species=aero_species,
                     **pk_sw,
                 )[0],
                 a, b, chunk, cld_mask=m,

@@ -211,6 +211,7 @@ class RRTMGPSolver:
         two_stream_sw: bool = True,
         data_dir: str | None = None,
         pallas_windowed: str = "force",
+        aero_species: tuple | None = None,
     ):
         self.grid_params = grid_params
         self.radiation_method = radiation_method
@@ -227,6 +228,10 @@ class RRTMGPSolver:
         # (ops/pallas_mega.py); "auto" adds a runtime invariant check with a
         # full-width fallback for hosts that mutate p/t far beyond init.
         self.pallas_windowed = pallas_windowed
+        # optional STATIC declaration of the MERRA aerosol species the host
+        # loads (indices into api_methods-style aerosol_names order); species
+        # outside the set are skipped at trace time. None = all 15.
+        self.aero_species = aero_species
         if lookups is None:
             import numpy as np
 
@@ -284,6 +289,7 @@ class RRTMGPSolver:
 
         lw_aero = lk.lookup_lw_aero if aero else None
         sw_aero = lk.lookup_sw_aero if aero else None
+        aspec = self.aero_species
 
         wmode = self.pallas_windowed
 
@@ -291,14 +297,14 @@ class RRTMGPSolver:
             return _solvers.solve_lw(
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
                 pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols,
-                pallas_windowed=wmode,
+                pallas_windowed=wmode, aero_species=aspec,
             )
 
         def sw_clear(atm, bcs):
             return _solvers.solve_sw(
                 lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw, lkp_aero=sw_aero,
                 pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols,
-                pallas_windowed=wmode,
+                pallas_windowed=wmode, aero_species=aspec,
             )
 
         self._lw_clear = jax.jit(lw_clear, compiler_options=copts)
@@ -315,6 +321,7 @@ class RRTMGPSolver:
                     lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero, cld_mask=mask,
                     pallas_tables=tabs_lw, pallas_window=win_lw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
+                    aero_species=aspec,
                 )
 
             def sw_cloudy(atm, bcs, key):
@@ -326,6 +333,7 @@ class RRTMGPSolver:
                     lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero, cld_mask=mask,
                     pallas_tables=tabs_sw, pallas_window=win_sw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
+                    aero_species=aspec,
                 )
 
             self._lw_cloudy = jax.jit(lw_cloudy, compiler_options=copts)

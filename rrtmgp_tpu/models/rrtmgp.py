@@ -135,7 +135,8 @@ def _add_cloud_all(lkp, lkp_cld, as_, tau, ssa, g_asym, cld_mask, delta_scaling)
     )
 
 
-def _aerosol_bands_masked(lkp_aero, as_, delta_scaling, collect_aod):
+def _aerosol_bands_masked(lkp_aero, as_, delta_scaling, collect_aod,
+                          active_species=None):
     """Band-level aerosol two-stream props + active mask for the megakernels.
 
     Identical arithmetic to _add_aerosol_all's pre-increment stage — the
@@ -144,7 +145,9 @@ def _aerosol_bands_masked(lkp_aero, as_, delta_scaling, collect_aod):
     eps = float(jnp.finfo(as_.p_lay.dtype).eps)
     aero = as_.aerosol_state
     active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
-    t_b, ts_b, tsg_b = aerosol_optics_bands(lkp_aero, aero, as_.rel_hum)
+    t_b, ts_b, tsg_b = aerosol_optics_bands(
+        lkp_aero, aero, as_.rel_hum, active_species
+    )
     t_b = jnp.where(active[..., None], t_b, 0.0)
     ts_b = jnp.where(active[..., None], ts_b, 0.0)
     tsg_b = jnp.where(active[..., None], tsg_b, 0.0)
@@ -160,13 +163,16 @@ def _aerosol_bands_masked(lkp_aero, as_, delta_scaling, collect_aod):
     return b3, active, aod_ext, aod_sca
 
 
-def _add_aerosol_all(lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling, collect_aod):
+def _add_aerosol_all(lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling,
+                     collect_aod, active_species=None):
     """Aerosol optics per band, expanded to g-points (ref aerosol_optics.jl)."""
     eps = float(jnp.finfo(tau.dtype).eps)
     aero = as_.aerosol_state
     active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
 
-    t_b, ts_b, tsg_b = aerosol_optics_bands(lkp_aero, aero, as_.rel_hum)
+    t_b, ts_b, tsg_b = aerosol_optics_bands(
+        lkp_aero, aero, as_.rel_hum, active_species
+    )
     t_b = jnp.where(active[..., None], t_b, 0.0)
     ts_b = jnp.where(active[..., None], ts_b, 0.0)
     tsg_b = jnp.where(active[..., None], tsg_b, 0.0)
@@ -216,6 +222,8 @@ def solve_lw(
                                          # gas_optics_pallas.compute_min_window)
     pallas_sweep_cols: int = 16,         # RTE sweep column block; 128 on TPU
                                          # with utils.compile.tpu_compiler_options
+    aero_species: tuple | None = None,   # STATIC active MERRA species indices
+                                         # (skip zero-mass species at trace time)
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -256,7 +264,8 @@ def solve_lw(
         aero_b3 = aero_act = None
         if lkp_aero is not None:
             aero_b3, aero_act, _, _ = _aerosol_bands_masked(
-                lkp_aero, as_, delta_scaling=False, collect_aod=False
+                lkp_aero, as_, delta_scaling=False, collect_aod=False,
+                active_species=aero_species,
             )
         flux_up, flux_dn = lw2_mega(
             q_base, pack3, eta3, plk_lev, plk_sfc,
@@ -348,7 +357,8 @@ def solve_lw(
         )
     if lkp_aero is not None:
         tau, ssa, g_asym, _, _ = _add_aerosol_all(
-            lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=False, collect_aod=False
+            lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=False,
+            collect_aod=False, active_species=aero_species,
         )
 
     inc = bcs.inc_flux
@@ -432,6 +442,7 @@ def solve_sw(
                                          # gas_optics_pallas.compute_min_window)
     pallas_sweep_cols: int = 16,         # RTE sweep column block; 128 on TPU
                                          # with utils.compile.tpu_compiler_options
+    aero_species: tuple | None = None,   # STATIC active MERRA species indices
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -474,7 +485,8 @@ def solve_sw(
         aero_b3 = aero_act = aod_ext = aod_sca = None
         if lkp_aero is not None:
             aero_b3, aero_act, aod_ext, aod_sca = _aerosol_bands_masked(
-                lkp_aero, as_, delta_scaling=True, collect_aod=True
+                lkp_aero, as_, delta_scaling=True, collect_aod=True,
+                active_species=aero_species,
             )
         toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]
         flux_up, flux_dn, flux_dn_dir = sw_clear_mega(
@@ -532,7 +544,8 @@ def solve_sw(
         )
     if lkp_aero is not None:
         tau, ssa, g_asym, aod_ext, aod_sca = _add_aerosol_all(
-            lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=True, collect_aod=True
+            lkp, lkp_aero, as_, tau, ssa, g_asym, delta_scaling=True,
+            collect_aod=True, active_species=aero_species,
         )
 
     toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]  # (ncol, ngpt)

@@ -139,9 +139,18 @@ def _dot_h(w, lut2):
     )
 
 
-def aerosol_optics_bands(lkp: AerosolLookup, aero: AerosolState, rel_hum: jax.Array):
+def aerosol_optics_bands(
+    lkp: AerosolLookup, aero: AerosolState, rel_hum: jax.Array,
+    active_species: tuple | None = None,
+):
     """Cumulative aerosol (tau, tau*ssa, tau*ssa*g) for ALL bands at once,
     each (nlay, ncol, nbnd).
+
+    active_species: optional STATIC tuple of MERRA species indices known by
+    the host to carry mass; the others are skipped at trace time (their
+    contribution is identically zero — the per-cell mass>0 mask already
+    zeroes them — so results are unchanged). Hosts typically load 3-6 of the
+    15 species; the skip removes ~2/3 of the band-prep HBM traffic.
 
     One-hot-matmul formulation of compute_lookup_aerosol
     (ref aerosol_optics.jl:121-185): pointwise gathers of the tiny MERRA
@@ -187,25 +196,37 @@ def aerosol_optics_bands(lkp: AerosolLookup, aero: AerosolState, rel_hum: jax.Ar
         tau_ssa += ts
         tau_ssag += ts * v[:, :, 2]
 
+    def on(i):
+        return active_species is None or i in active_species
+
     dust2 = lut2(lkp.dust)
     for i in DUST_IDXS:
+        if not on(i):
+            continue
         bin_ = _locate_size_bin(lkp.size_bin_limits, size[i]).reshape(-1, 1)
         w_bin = (iota_bin == bin_).astype(dtype)
         add(_dot_h(w_bin, dust2), mass[i])
 
     ss2 = jnp.moveaxis(lkp.sea_salt.astype(dtype), 0, 2).reshape(nrh * nbin, 3 * nbnd)
     for i in SALT_IDXS:
+        if not on(i):
+            continue
         bin_ = _locate_size_bin(lkp.size_bin_limits, size[i]).reshape(-1, 1)
         w_bin = (iota_bin == bin_).astype(dtype)
         w_joint = (w_rh[:, :, None] * w_bin[:, None, :]).reshape(rows, nrh * nbin)
         add(_dot_h(w_joint, ss2), mass[i])
 
-    add(_dot_h(w_rh, lut2(lkp.sulfate)), mass[SULFATE_IDX])
-    add(_dot_h(w_rh, lut2(lkp.black_carbon_rh)), mass[BC_RH_IDX])
-    add(_dot_h(w_rh, lut2(lkp.organic_carbon_rh)), mass[OC_RH_IDX])
+    if on(SULFATE_IDX):
+        add(_dot_h(w_rh, lut2(lkp.sulfate)), mass[SULFATE_IDX])
+    if on(BC_RH_IDX):
+        add(_dot_h(w_rh, lut2(lkp.black_carbon_rh)), mass[BC_RH_IDX])
+    if on(OC_RH_IDX):
+        add(_dot_h(w_rh, lut2(lkp.organic_carbon_rh)), mass[OC_RH_IDX])
 
     # hydrophobic BC/OC: band vectors, no per-cell lookup
     for tbl, idx in ((lkp.black_carbon, BC_IDX), (lkp.organic_carbon, OC_IDX)):
+        if not on(idx):
+            continue
         v = jnp.broadcast_to(
             tbl.astype(dtype).reshape(1, 3 * nbnd), (rows, 3 * nbnd)
         )
