@@ -55,8 +55,8 @@ def main() -> None:
         tabs_sw = build_pallas_tables(lkp_sw)
         # static per-layer table window, computed once at init from the
         # atmosphere (the invariant depends only on the p/t fields)
-        win_lw = compute_min_window(lkp_lw, atm)
-        win_sw = compute_min_window(lkp_sw, atm)
+        win_lw = compute_min_window(lkp_lw, atm, mega=True)
+        win_sw = compute_min_window(lkp_sw, atm, mega=True)
     else:
         tabs_lw = tabs_sw = None
         win_lw = win_sw = 96

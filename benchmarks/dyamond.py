@@ -78,8 +78,8 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
 
         tabs_lw = build_pallas_tables(lkp_lw)
         tabs_sw = build_pallas_tables(lkp_sw)
-        win_lw = compute_min_window(lkp_lw, atm)
-        win_sw = compute_min_window(lkp_sw, atm)
+        win_lw = compute_min_window(lkp_lw, atm, mega=True)
+        win_sw = compute_min_window(lkp_sw, atm, mega=True)
     copts = tpu_compiler_options()
     scols = sweep_block_cols()
     # "force": the window invariant is established once from the full

@@ -40,8 +40,8 @@ def main():
     atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=dtype)
     tabs = build_pallas_tables(lkp)
     tabs_sw = build_pallas_tables(lkp_sw)
-    win = compute_min_window(lkp, atm)
-    win_sw = compute_min_window(lkp_sw, atm)
+    win = compute_min_window(lkp, atm, mega=True)
+    win_sw = compute_min_window(lkp_sw, atm, mega=True)
     bcs = LwBCs(sfc_emis=jnp.full((16, NCOL), 0.98, jnp.float32))
     bcs_sw = SwBCs(
         cos_zenith=jnp.full((NCOL,), 0.6, jnp.float32),

@@ -46,8 +46,8 @@ def main():
     )
     tabs_lw = build_pallas_tables(lkp_lw)
     tabs_sw = build_pallas_tables(lkp_sw)
-    win_lw = compute_min_window(lkp_lw, atm)
-    win_sw = compute_min_window(lkp_sw, atm)
+    win_lw = compute_min_window(lkp_lw, atm, mega=True)
+    win_sw = compute_min_window(lkp_sw, atm, mega=True)
     copts = tpu_compiler_options()
     scols = sweep_block_cols()
     mask_lw = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, 256)

@@ -279,9 +279,12 @@ class RRTMGPSolver:
 
             tabs_lw = build_pallas_tables(lk.lookup_lw)
             tabs_sw = build_pallas_tables(lk.lookup_sw)
-            margin = 16 if self.pallas_windowed == "force" else 0
-            win_lw = compute_min_window(lk.lookup_lw, self.as_) + margin
-            win_sw = compute_min_window(lk.lookup_sw, self.as_) + margin
+            # force mode uses the megakernels, whose window lives in the
+            # sec-minor interleaved row space (3x granularity)
+            mega = self.pallas_windowed == "force"
+            margin = 16 if mega else 0
+            win_lw = compute_min_window(lk.lookup_lw, self.as_, mega=mega) + margin
+            win_sw = compute_min_window(lk.lookup_sw, self.as_, mega=mega) + margin
         self._pallas_lw = tabs_lw
         self._pallas_sw = tabs_sw
         copts = tpu_compiler_options()

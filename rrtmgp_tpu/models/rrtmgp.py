@@ -252,7 +252,7 @@ def solve_lw(
         from ..ops.pallas_interp import rows_per_slab
         from ..ops.pallas_mega import lw2_mega
 
-        window = min(pallas_window, pallas_tables.fused_hi.shape[0])
+        window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         (q_base, pack3, eta3, _, plk_lev, plk_sfc, groups_static,
          scal_offs) = mega_lw_inputs(
             lkp, pallas_tables, as_, window, 128, need_lay=False
@@ -297,7 +297,7 @@ def solve_lw(
         from ..ops.pallas_mega import lw_clear_mega
 
         mega_block = 256 if as_.ncol % 256 == 0 else 128
-        window = min(pallas_window, pallas_tables.fused_hi.shape[0])
+        window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
          scal_offs) = mega_lw_inputs(lkp, pallas_tables, as_, window, mega_block)
         from ..ops.pallas_interp import rows_per_slab
@@ -471,7 +471,7 @@ def solve_sw(
         from ..ops.pallas_interp import rows_per_slab
         from ..ops.pallas_mega import sw_clear_mega
 
-        window = min(pallas_window, pallas_tables.fused_hi.shape[0])
+        window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         q_base, pack3, eta3, groups_static, scal_offs = mega_sw_inputs(
             lkp, pallas_tables, as_, window
         )

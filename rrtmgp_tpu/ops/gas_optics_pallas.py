@@ -70,9 +70,12 @@ class PallasGasTables:
     ray_stack: jax.Array | None   # [hi; lo] rows
     fused_hi: jax.Array | None
     fused_lo: jax.Array | None
-    fused_ilv: jax.Array | None   # slab-interleaved [hi; lo; hi] rows:
-                                  # row (jp*3 + sec)*rps + jt; one stacked
-                                  # K-contiguous dot in the megakernels
+    fused_ilv: jax.Array | None   # sec-minor interleaved [hi; lo; hi]:
+                                  # row 3*q + sec (q = jp*rps + jt) — one
+                                  # stacked K-contiguous dot in the
+                                  # megakernels whose window depends only on
+                                  # the per-layer q SPREAD (16-row-aligned
+                                  # base), usually a single MXU K-tile
     totplnk_hi: jax.Array | None
     totplnk_lo: jax.Array | None
     totplnk_t: jax.Array | None   # (nbnd_pad, 3*rows_pad) bf16 [hi | hi | lo]
@@ -209,11 +212,9 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
     else:
         fused_hi, fused_lo = pk.merge_tables_emajor([lkp.kmajor])
         fused_n = 1
-    rps_f = pk.rows_per_slab(lkp.n_temp)
-    npp_f = fused_hi.shape[0] // rps_f
-    _h3 = fused_hi.reshape(npp_f, rps_f, -1)
-    _l3 = fused_lo.reshape(npp_f, rps_f, -1)
-    fused_ilv = jnp.stack([_h3, _l3, _h3], axis=1).reshape(npp_f * 3 * rps_f, -1)
+    fused_ilv = jnp.stack([fused_hi, fused_lo, fused_hi], axis=1).reshape(
+        3 * fused_hi.shape[0], -1
+    )
     totplnk_hi = totplnk_lo = totplnk_t = None
     if lkp.planck_fraction is not None:
         tp = jnp.asarray(lkp.totplnk, jnp.float32)  # (n_t_plnk, nbnd)
@@ -497,7 +498,9 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
     return pack_t, eta_ops, tuple(groups_static), tuple(scal_offs)
 
 
-def compute_min_window(lkp: GasLookup, as_: AtmosphericState) -> int:
+def compute_min_window(
+    lkp: GasLookup, as_: AtmosphericState, mega: bool = False
+) -> int:
     """Smallest safe kernel window for this atmosphere (EAGER — the window is
     a static kernel shape). Returns the smallest MXU-tile bucket covering
     every layer's (press, temp) row span: the stacked-K major contraction
@@ -512,9 +515,20 @@ def compute_min_window(lkp: GasLookup, as_: AtmosphericState) -> int:
     q = pt.jpress_base * rps + pt.jtemp
     q_min = jnp.min(q, axis=1)
     q_max = jnp.max(q, axis=1)
+    n_rows = (lkp.n_press + 1) * rps
+    if mega:
+        # sec-minor interleaved space (row 3q+sec): base = 16-aligned floor
+        # of 3*q_min, so only the per-layer q SPREAD enters — one MXU K-tile
+        # (window <= 128) except for extreme per-layer p/t spreads
+        base = ((3 * q_min) // 16) * 16
+        req = int(jnp.max(3 * (q_max + rps + 1) + 3 - base))
+        n3 = 3 * n_rows
+        for bucket in (48, 64, 80, 96, 112, 128):
+            if req <= bucket <= n3:
+                return bucket
+        return min(-(-req // 16) * 16, n3)
     base = (q_min // 16) * 16  # = slab base: slabs are 16-aligned by layout
     req = int(jnp.max(q_max + rps + 2 - base))
-    n_rows = (lkp.n_press + 1) * rps
     for bucket in (32, 40, 48, 80, 128):
         if req <= bucket <= n_rows:
             return bucket
@@ -673,7 +687,7 @@ def mega_lw_inputs(
     eta3 = tuple(
         jnp.swapaxes(x.reshape(x.shape[0], nlay, ncol), 0, 1) for x in eta_ops
     )
-    q_base, _ = pk.window_bases(
+    q_base, _ = pk.mega_window_bases(
         q_major, pk.rows_per_slab(lkp.n_temp), tables.fused_hi.shape[0], window
     )
 
@@ -714,7 +728,7 @@ def mega_sw_inputs(
     eta3 = tuple(
         jnp.swapaxes(x.reshape(x.shape[0], nlay, ncol), 0, 1) for x in eta_ops
     )
-    q_base, _ = pk.window_bases(
+    q_base, _ = pk.mega_window_bases(
         q_major, pk.rows_per_slab(lkp.n_temp), tables.fused_hi.shape[0], window
     )
     return q_base, pack3, eta3, groups_static, scal_offs

@@ -306,6 +306,21 @@ def window_bases(q: jax.Array, n_temp: int, n_rows: int, window: int):
     return base, ok
 
 
+def mega_window_bases(q: jax.Array, rps: int, n_rows: int, window: int):
+    """Per-layer window base + validity in the megakernels' sec-minor
+    interleaved row space (row = 3q + sec). Base is any 16-aligned row, so
+    the window covers 3x the per-layer q spread plus slack — independent of
+    the absolute temperature index (unlike the slab-anchored two-kernel
+    window)."""
+    q_min = jnp.min(q, axis=1)
+    q_max = jnp.max(q, axis=1)
+    base = ((3 * q_min) // 16) * 16
+    max_base = (max(3 * n_rows - window, 0) // 16) * 16
+    base = jnp.clip(base, 0, max_base).astype(jnp.int32)
+    ok = jnp.all(3 * (q_max + rps + 1) + 3 - base <= window)
+    return base, ok
+
+
 def split_table_emajor(table) -> tuple[jax.Array, jax.Array]:
     """(ngpt, npress+1, ntemp, neta) table -> e-major 2D bf16 (hi, lo) parts.
 

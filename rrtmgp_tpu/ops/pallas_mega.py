@@ -134,28 +134,26 @@ def _optics_phase(
     """One layer's gas optics for a column block; returns (tau, second) each
     (B, npad) f32 where second = pfrac (LW) or ssa (SW). Identical arithmetic
     to pallas_interp._optics_fused_kernel, but the table lives in VMEM
-    (kilv_tab scratch, slab-interleaved [hi; lo; hi] rows) so the per-layer
-    window is a row slice, not a DMA, and the whole three-pass bf16
-    contraction is ONE K-contiguous MXU dot."""
-    base = pl.multiple_of(qb_ref[l], 16)  # slab-aligned (multiple of slab)
+    (kilv_tab scratch, sec-minor [hi; lo; hi] interleave: row = 3q + sec) so
+    the per-layer window is a 16-aligned row slice whose size tracks only the
+    layer's q SPREAD — typically one MXU K-tile — and the whole three-pass
+    bf16 contraction is ONE K-contiguous dot."""
+    base = pl.multiple_of(qb_ref[l], 16)  # any 16-aligned interleaved row
     d = pack_ref[l].T  # (npk, B) -> (B, npk)
     b = d.shape[0]
-    q = d[:, 0:1].astype(jnp.int32) - base
+    q = d[:, 0:1].astype(jnp.int32)
     jt = d[:, 1:2].astype(jnp.int32)
     fp = d[:, 2:3]
     ft = d[:, 3:4]
     col_dry = d[:, 4:5]
-    w3 = 3 * window
-    iota_q = jax.lax.broadcasted_iota(jnp.int32, (b, w3), 1)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (b, window), 1)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (b, minor_ntp), 1)
 
-    # interleaved-row index for (press offset p, section sec, temp half h):
-    # jp_rel*3*slab + sec*slab + jt_local (+h); weight value = bf16 hi part
-    # for sections 0/1, lo part for section 2 — exactly bf16-representable,
-    # so the cast of the assembled W is exact
-    jp_rel = q // slab
-    jtl = q - jp_rel * slab
-    q3 = jp_rel * (3 * slab) + jtl
+    # interleaved-row index for (press offset p, temp half h, section sec):
+    # 3*(q + h + p*slab) + sec; weight value = bf16 hi part for sections 0/1,
+    # lo part for section 2 — exactly bf16-representable, so the cast of the
+    # assembled W is exact
+    r0 = 3 * q - base
     omf = 1.0 - fp
     omf_h = omf.astype(jnp.bfloat16).astype(jnp.float32)
     omf_l = omf - omf_h
@@ -164,13 +162,13 @@ def _optics_phase(
     vals = ((omf_h, omf_h, omf_l), (fp_h, fp_h, fp_l))
     w_rows = []
     for half in (0, 1):
-        w = jnp.zeros((b, w3), jnp.float32)
+        w = jnp.zeros((b, window), jnp.float32)
         for p in (0, 1):
             for sec in (0, 1, 2):
-                row = q3 + half + p * (3 * slab) + sec * slab
+                row = r0 + 3 * (half + p * slab) + sec
                 w = w + jnp.where(iota_q == row, vals[p][sec], 0.0)
         w_rows.append(w)
-    w_maj = jnp.concatenate(w_rows, axis=0).astype(jnp.bfloat16)  # (2B, 3*window)
+    w_maj = jnp.concatenate(w_rows, axis=0).astype(jnp.bfloat16)  # (2B, window)
 
     loc_b2 = jnp.concatenate([loc1_ref[l].T, loc2_ref[l].T], axis=0)  # (2B, nbnd)
     cm_b2 = jnp.concatenate([cm1_ref[l].T, cm2_ref[l].T], axis=0)
@@ -191,7 +189,7 @@ def _optics_phase(
         return wts[0] * acc[:b] + wts[1] * acc[b:]
 
     dot = lambda a, k: jnp.dot(a, k, preferred_element_type=jnp.float32)
-    k_win = kilv_tab[pl.ds(3 * base, w3)]
+    k_win = kilv_tab[pl.ds(base, window)]
     if with_rayleigh:
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, ray_rows), 1)
         qr = d[:, 5:6].astype(jnp.int32)

@@ -117,7 +117,7 @@ def test_lw_clear_megakernel_matches_xla():
     atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32)
     tabs = gp.build_pallas_tables(lkp)
     bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
-    win = compute_min_window(lkp, atm)
+    win = compute_min_window(lkp, atm, mega=True)
     ref, _ = solve_lw(lkp, atm, bcs, pallas_rte=False)
     out, _ = solve_lw(
         lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
@@ -149,7 +149,7 @@ def test_sw_clear_megakernel_matches_xla():
         sfc_alb_direct=jnp.full((lkp.n_bnd, ncol), 0.2, jnp.float32),
         sfc_alb_diffuse=jnp.full((lkp.n_bnd, ncol), 0.25, jnp.float32),
     )
-    win = compute_min_window(lkp, atm)
+    win = compute_min_window(lkp, atm, mega=True)
     ref, _ = solve_sw(lkp, atm, bcs, pallas_rte=False)
     out, _ = solve_sw(
         lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
@@ -189,7 +189,7 @@ def test_lw2_cloudy_megakernel_matches_xla():
     ncol = 128
     lkp, atm, lkp_cld, mask = _cloudy_setup(True, ncol)
     bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
-    win = compute_min_window(lkp, atm)
+    win = compute_min_window(lkp, atm, mega=True)
     kw = dict(two_stream=True, lkp_cld=lkp_cld, cld_mask=mask)
     ref, dref = solve_lw(lkp, atm, bcs, pallas_rte=False, **kw)
     tabs = gp.build_pallas_tables(lkp)
@@ -217,7 +217,7 @@ def test_lw2_clear_megakernel_matches_xla():
     lkp = synthetic_gas_lookup(longwave=True, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32)
     atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32)
     bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
-    win = compute_min_window(lkp, atm)
+    win = compute_min_window(lkp, atm, mega=True)
     ref, _ = solve_lw(lkp, atm, bcs, pallas_rte=False, two_stream=True)
     tabs = gp.build_pallas_tables(lkp)
     out, _ = solve_lw(
@@ -245,7 +245,7 @@ def test_sw_cloudy_megakernel_matches_xla():
         sfc_alb_direct=jnp.full((lkp.n_bnd, ncol), 0.2, jnp.float32),
         sfc_alb_diffuse=jnp.full((lkp.n_bnd, ncol), 0.25, jnp.float32),
     )
-    win = compute_min_window(lkp, atm)
+    win = compute_min_window(lkp, atm, mega=True)
     kw = dict(lkp_cld=lkp_cld, cld_mask=mask)
     ref, _ = solve_sw(lkp, atm, bcs, pallas_rte=False, **kw)
     tabs = gp.build_pallas_tables(lkp)
@@ -283,7 +283,7 @@ def test_allsky_aerosol_megakernels_match_xla():
         mask = build_cloud_mask_mcica(
             jax.random.key(0), atm.cloud_state.cld_frac, lkp.n_gpt
         )
-        win = compute_min_window(lkp, atm)
+        win = compute_min_window(lkp, atm, mega=True)
         tabs = gp.build_pallas_tables(lkp)
         kw = dict(lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=mask)
         if longwave:
