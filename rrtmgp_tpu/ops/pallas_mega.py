@@ -51,6 +51,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _m5_matrix(m_pad: np.ndarray, gp: int) -> jax.Array:
+    """Block expand matrix for the merged [cm_hi|cm_lo|je|fe_hi|fe_lo] dot:
+    (5*mb, 2*gp) bf16 — cm parts hit the first gp lanes, loc parts the
+    second."""
+    mb = m_pad.shape[0]
+    m5 = np.zeros((5 * mb, 2 * gp), np.float32)
+    m5[0 * mb : 1 * mb, :gp] = m_pad
+    m5[1 * mb : 2 * mb, :gp] = m_pad
+    m5[2 * mb : 3 * mb, gp:] = m_pad
+    m5[3 * mb : 4 * mb, gp:] = m_pad
+    m5[4 * mb : 5 * mb, gp:] = m_pad
+    return jnp.asarray(m5, jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Transposed band-Planck interpolation: (nbp_sub, N) output, 16 lanes of band
 # values per row group instead of a 128-lane padded row per temperature.
@@ -126,7 +140,7 @@ def planck_band_pallas_t(
 
 
 def _optics_phase(
-    l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+    l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
     kilv_tab, mk_stack, mk_proj, ray_tab,
     *, window, n_eta, npad, n_tables, sw, minor_groups, scal_offs, minor_ntp,
     with_rayleigh, ray_rows, slab,
@@ -180,9 +194,19 @@ def _optics_phase(
             preferred_element_type=jnp.float32,
         )
 
-    cm_g2 = expand_mxu(cm_b2)
+    # one block-matrix dot expands cm AND the split eta location (je exact in
+    # bf16, fe hi/lo) to g-points: [cm_hi|cm_lo|je|fe_hi|fe_lo] @ m5 ->
+    # [cm_g2 | loc_g2] — replaces three separate expand matmuls per body
     je_b2 = jnp.floor(loc_b2)
-    loc_g2 = expand_mxu(je_b2) + expand_mxu(loc_b2 - je_b2)
+    fe_b2 = loc_b2 - je_b2
+    cm_hi, cm_lo = _split_hi_lo(cm_b2)
+    fe_hi, fe_lo = _split_hi_lo(fe_b2)
+    cat5 = jnp.concatenate(
+        [cm_hi, cm_lo, je_b2.astype(jnp.bfloat16), fe_hi, fe_lo], axis=1
+    )
+    both = jnp.dot(cat5, m5, preferred_element_type=jnp.float32)  # (2B, 2*npad)
+    cm_g2 = both[:, :npad]
+    loc_g2 = both[:, npad:]
     wts = (1.0 - ft, ft)
 
     def combine(acc):
@@ -281,6 +305,7 @@ def _lw_mega_kernel(
     inc_ref,                               # (B, G) TOA incident flux per gpt
     kilv_hbm,                              # ANY (3*rows, W) bf16 interleaved
     m2_ref,                                # (2*nbnd, G)
+    m5_ref,                                # (5*nbnd, 2*G) merged expand matrix
     *rest,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
     slab, ds, w_mu,
@@ -299,6 +324,7 @@ def _lw_mega_kernel(
         cp.wait()
 
     m2 = m2_ref[:]
+    m5 = m5_ref[:]
     eps = float(jnp.finfo(jnp.float32).eps)
     tau_thresh = 100.0 * eps
     i2f = float(jnp.pi) * w_mu
@@ -324,7 +350,7 @@ def _lw_mega_kernel(
     def optics_step(l, carry):
         pf_prev, trans_prev, fact_prev, lay_prev = carry
         tau, pf = _optics_phase(
-            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
             kilv_tab, mk_stack, mk_proj, None,
             window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
             minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
@@ -444,6 +470,7 @@ def lw_clear_mega(
     for i, (g0, g1) in enumerate(bnd_lims_gpt):
         m_pad[i, g0:g1] = 1.0
     m2 = jnp.asarray(np.concatenate([m_pad, m_pad], axis=0), jnp.bfloat16)
+    m5 = _m5_matrix(m_pad, gp)
 
     def pad_band(x, axis):
         if x.shape[axis] == mb:
@@ -495,7 +522,7 @@ def lw_clear_mega(
             lay3(nbp), lev3(nbp), band2(nbp), band2(sfc_emis.shape[0]),
             col_spec,
             pl.BlockSpec(memory_space=pltpu.ANY),
-            full(m2),
+            full(m2), full(m5),
         ]
         + [full(k) for k in minor_stack]
         + [full(p) for p in minor_proj],
@@ -520,7 +547,7 @@ def lw_clear_mega(
         interpret=_interpret(),
     )(
         q_base, pack, *eta_ops, plk_lay, plk_lev, plk_sfc, sfc_emis, inc,
-        kilv, m2, *minor_stack, *minor_proj,
+        kilv, m2, m5, *minor_stack, *minor_proj,
     )
     return tuple(o.T for o in out)
 
@@ -563,6 +590,7 @@ def _sw_mega_kernel(
     kilv_hbm = args[idx]; idx += 1
     ray_ref = args[idx]; idx += 1
     m2_ref = args[idx]; idx += 1
+    m5_ref = args[idx]; idx += 1
     n_groups = len(minor_groups)
     mk_stack = args[idx : idx + n_groups]; idx += n_groups
     mk_proj = args[idx : idx + n_groups]; idx += n_groups
@@ -577,6 +605,7 @@ def _sw_mega_kernel(
         cp.wait()
 
     m2 = m2_ref[:]
+    m5 = m5_ref[:]
     ray_tab = ray_ref[:]
     eps = float(jnp.finfo(jnp.float32).eps)
     mu0 = mu0_ref[:].T  # (B, 1), broadcasts over g-points
@@ -592,7 +621,7 @@ def _sw_mega_kernel(
     # phase 1: optics + compose + coefficients into scratch
     def optics_step(l, carry):
         tau, ssa = _optics_phase(
-            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
             kilv_tab, mk_stack, mk_proj, ray_tab,
             window=window, n_eta=n_eta, npad=npad, n_tables=1, sw=sw,
             minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
@@ -745,6 +774,7 @@ def sw_clear_mega(
     for i, (g0, g1) in enumerate(bnd_lims_gpt):
         m_pad[i, g0:g1] = 1.0
     m2 = jnp.asarray(np.concatenate([m_pad, m_pad], axis=0), jnp.bfloat16)
+    m5 = _m5_matrix(m_pad, gp)
 
     def pad_band(x, axis):
         if x.shape[axis] == mb:
@@ -821,7 +851,7 @@ def sw_clear_mega(
         + [
             pl.BlockSpec(memory_space=pltpu.ANY),
             full(ray_stack),
-            full(m2),
+            full(m2), full(m5),
         ]
         + [full(k) for k in minor_stack]
         + [full(p) for p in minor_proj],
@@ -850,7 +880,7 @@ def sw_clear_mega(
         interpret=_interpret(),
     )(
         q_base, pack, *eta_ops, mu0_2d, toa, alb_dir, alb_dif, inc,
-        *cloud_ops, kilv, ray_stack, m2, *minor_stack, *minor_proj,
+        *cloud_ops, kilv, ray_stack, m2, m5, *minor_stack, *minor_proj,
     )
     return tuple(o.T for o in out)
 
@@ -891,6 +921,7 @@ def _lw2_mega_kernel(
         amask_ref = args[idx]; idx += 1           # (nlay, 8, B) f32 (row 0 used)
     kilv_hbm = args[idx]; idx += 1
     m2_ref = args[idx]; idx += 1
+    m5_ref = args[idx]; idx += 1
     n_groups = len(minor_groups)
     mk_stack = args[idx : idx + n_groups]; idx += n_groups
     mk_proj = args[idx : idx + n_groups]; idx += n_groups
@@ -905,6 +936,7 @@ def _lw2_mega_kernel(
         cp.wait()
 
     m2 = m2_ref[:]
+    m5 = m5_ref[:]
     eps = float(jnp.finfo(jnp.float32).eps)
     k_min = eps ** 0.5
     tau_thresh = 100.0 * eps
@@ -950,7 +982,7 @@ def _lw2_mega_kernel(
     def optics_step(l, carry):
         pf_prev, tau_p, ssa_p, g_p, lev_p, alb_c, src_c = carry
         tau, pf = _optics_phase(
-            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2,
+            l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
             kilv_tab, mk_stack, mk_proj, None,
             window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
             minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
@@ -1109,6 +1141,7 @@ def lw2_mega(
     for i, (g0, g1) in enumerate(bnd_lims_gpt):
         m_pad[i, g0:g1] = 1.0
     m2 = jnp.asarray(np.concatenate([m_pad, m_pad], axis=0), jnp.bfloat16)
+    m5 = _m5_matrix(m_pad, gp)
 
     def pad_band(x, axis):
         if x.shape[axis] == mb:
@@ -1178,7 +1211,7 @@ def lw2_mega(
             col_spec,
         ]
         + cloud_specs
-        + [pl.BlockSpec(memory_space=pltpu.ANY), full(m2)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY), full(m2), full(m5)]
         + [full(k) for k in minor_stack]
         + [full(p) for p in minor_proj],
         out_specs=(red_spec, red_spec),
@@ -1203,6 +1236,6 @@ def lw2_mega(
         interpret=_interpret(),
     )(
         q_base, pack, *eta_ops, plk_lev, plk_sfc, sfc_emis, inc,
-        *cloud_ops, kilv, m2, *minor_stack, *minor_proj,
+        *cloud_ops, kilv, m2, m5, *minor_stack, *minor_proj,
     )
     return tuple(o.T for o in out)
