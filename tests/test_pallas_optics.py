@@ -317,3 +317,37 @@ def test_allsky_aerosol_megakernels_match_xla():
             assert np.abs(a - b).max() / scale < 1e-4, (
                 longwave, name, np.abs(a - b).max() / scale,
             )
+
+
+def test_sw_megakernel_cos_zenith_edge_cases():
+    """mu0 in {0, tiny, negative, 1} must give finite fluxes and exact zeros
+    for night columns through the megakernel path
+    (ref /root/reference/test/cos_zenith_edge_cases.jl:34-47)."""
+    from rrtmgp_tpu.models.rrtmgp import solve_sw
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import SwBCs
+
+    ncol = 128
+    lkp = synthetic_gas_lookup(longwave=False, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32)
+    mu0 = np.full((ncol,), 0.6, np.float32)
+    mu0[0] = 0.0
+    mu0[1] = 1e-7
+    mu0[2] = -0.5
+    mu0[3] = 1.0
+    bcs = SwBCs(
+        cos_zenith=jnp.asarray(mu0),
+        toa_flux=jnp.full((ncol,), 1361.0, jnp.float32),
+        sfc_alb_direct=jnp.full((lkp.n_bnd, ncol), 0.2, jnp.float32),
+        sfc_alb_diffuse=jnp.full((lkp.n_bnd, ncol), 0.25, jnp.float32),
+    )
+    win = compute_min_window(lkp, atm, mega=True)
+    tabs = gp.build_pallas_tables(lkp)
+    out, _ = solve_sw(
+        lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
+        pallas_windowed="force", pallas_window=win,
+    )
+    for name in ("flux_up", "flux_dn", "flux_dn_dir", "flux_net"):
+        a = np.asarray(getattr(out, name))
+        assert np.isfinite(a).all(), name
+        assert np.all(a[:, 0] == 0.0) and np.all(a[:, 2] == 0.0), name
