@@ -145,6 +145,24 @@ def _aerosol_bands_masked(lkp_aero, as_, delta_scaling, collect_aod,
     eps = float(jnp.finfo(as_.p_lay.dtype).eps)
     aero = as_.aerosol_state
     active = jnp.any(aero.aero_mass > 0.0, axis=0)  # (nlay, ncol)
+    if active_species is not None:
+        # Pallas kernel: raw band sums computed in VMEM, band-leading output
+        # (the per-species mass>0 masks make the outer `active` zeroing a
+        # numeric no-op, so it is skipped)
+        from ..ops.pallas_aerosol import aerosol_bands_pallas
+
+        t_b, ts_b, tsg_b = aerosol_bands_pallas(
+            lkp_aero, aero, as_.rel_hum, active_species
+        )  # each (nlay, mb, ncol)
+        aod_ext = aod_sca = None
+        if collect_aod and lkp_aero.iband_550nm >= 0:
+            aod_ext = jnp.sum(t_b[:, lkp_aero.iband_550nm], axis=0)
+            aod_sca = jnp.sum(ts_b[:, lkp_aero.iband_550nm], axis=0)
+        g_a = tsg_b / jnp.maximum(eps, ts_b)
+        ssa_a = ts_b / jnp.maximum(eps, t_b)
+        if delta_scaling:
+            t_b, ssa_a, g_a = delta_scale(t_b, ssa_a, g_a)
+        return (t_b, ssa_a, g_a), active, aod_ext, aod_sca
     t_b, ts_b, tsg_b = aerosol_optics_bands(
         lkp_aero, aero, as_.rel_hum, active_species
     )
