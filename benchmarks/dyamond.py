@@ -124,34 +124,36 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
         args_lw = (atm, bcs_lw)
         args_sw = (atm, bcs_sw)
     else:
-        mask_lw = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, 256)
-        mask_sw = build_cloud_mask_mcica(jax.random.key(1), atm.cloud_state.cld_frac, 224)
+        # McICA mask sampling runs INSIDE the timed solve — the reference
+        # samples per column inside its timed solves
+        # (ref src/rte/longwave1scalar.jl:72, cloud_optics.jl:222-261).
+        # On TPU the megakernels sample in-kernel from the counter-based seed.
 
         @partial(jax.jit, compiler_options=copts)
-        def f_lw(a, b, m):
+        def f_lw(a, b, seed):
             return solve_chunked(
-                lambda ac, bc, mc: solve_lw(
+                lambda ac, bc, sc: solve_lw(
                     lkp_lw, ac, bc, two_stream=True, lkp_cld=lkp_cld_lw,
-                    lkp_aero=lkp_aero_lw, cld_mask=mc,
+                    lkp_aero=lkp_aero_lw, cld_mask_seed=sc,
                     aero_species=aero_species,
                     **pk_lw,
                 )[0],
-                a, b, chunk, cld_mask=m,
+                a, b, chunk, cld_mask_seed=seed,
             )
 
         @partial(jax.jit, compiler_options=copts)
-        def f_sw(a, b, m):
+        def f_sw(a, b, seed):
             return solve_chunked(
-                lambda ac, bc, mc: solve_sw(
+                lambda ac, bc, sc: solve_sw(
                     lkp_sw, ac, bc, lkp_cld=lkp_cld_sw, lkp_aero=lkp_aero_sw,
-                    cld_mask=mc, aero_species=aero_species,
+                    cld_mask_seed=sc, aero_species=aero_species,
                     **pk_sw,
                 )[0],
-                a, b, chunk, cld_mask=m,
+                a, b, chunk, cld_mask_seed=seed,
             )
 
-        args_lw = (atm, bcs_lw, mask_lw)
-        args_sw = (atm, bcs_sw, mask_sw)
+        args_lw = (atm, bcs_lw, jnp.asarray(0, jnp.int32))
+        args_sw = (atm, bcs_sw, jnp.asarray(1, jnp.int32))
 
     for name, f, args in (("LW", f_lw, args_lw), ("SW", f_sw, args_sw)):
         t0 = time.perf_counter()

@@ -58,7 +58,8 @@ class SolveDiagnostics(NamedTuple):
     aod_sw_sca: jax.Array | None = None
 
 
-def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *, cld_mask=None):
+def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *,
+                  cld_mask=None, cld_mask_seed=None):
     """Run a solve over column chunks sequentially (lax.map) to bound memory.
 
     The reference bounds memory by serializing the g-point loop with one flux
@@ -90,6 +91,13 @@ def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *, cld_mask=
         m = cld_mask.reshape(cld_mask.shape[0], n_chunks, chunk, cld_mask.shape[-1])
         m = jnp.moveaxis(m, 1, 0)
         fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c, m))
+    elif cld_mask_seed is not None:
+        # decorrelate the in-kernel McICA streams across chunks
+        seeds = (
+            jnp.asarray(cld_mask_seed, jnp.int32)
+            + jnp.arange(n_chunks, dtype=jnp.int32) * jnp.int32(100003)
+        )
+        fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c, seeds))
     else:
         fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c))
 
@@ -242,6 +250,10 @@ def solve_lw(
                                          # with utils.compile.tpu_compiler_options
     aero_species: tuple | None = None,   # STATIC active MERRA species indices
                                          # (skip zero-mass species at trace time)
+    cld_mask_seed: jax.Array | None = None,  # () int32: sample the McICA mask
+                                         # IN-KERNEL (TPU PRNG, counter-based;
+                                         # ref reset_rng_seed semantics) instead
+                                         # of passing cld_mask
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -264,7 +276,21 @@ def solve_lw(
         and dtype == jnp.float32 and pallas_windowed == "force"
         and as_.ncol % 128 == 0
     )
-    if mega_ok and two_stream and (lkp_cld is None) == (cld_mask is None):
+    # in-kernel McICA needs the TPU PRNG; off-TPU (interpret mode) the seed
+    # materializes a threefry mask instead
+    if (
+        cld_mask is None and cld_mask_seed is not None and lkp_cld is not None
+        and jax.default_backend() != "tpu"
+    ):
+        from ..ops.cloud_optics import build_cloud_mask_mcica
+
+        cld_mask = build_cloud_mask_mcica(
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+        )
+        cld_mask_seed = None
+
+    has_cld_input = cld_mask is not None or cld_mask_seed is not None
+    if mega_ok and two_stream and (lkp_cld is None) == (not has_cld_input):
         from ..ops.cloud_optics import cloud_optics_bands
         from ..ops.gas_optics_pallas import mega_lw_inputs
         from ..ops.pallas_interp import rows_per_slab
@@ -276,6 +302,7 @@ def solve_lw(
             lkp, pallas_tables, as_, window, 128, need_lay=False
         )
         cld_b3 = None
+        gen = lkp_cld is not None and cld_mask is None
         if lkp_cld is not None:
             tau_b, ssa_b, g_b = cloud_optics_bands(lkp_cld, as_.cloud_state)
             cld_b3 = tuple(jnp.swapaxes(x, 1, 2) for x in (tau_b, ssa_b, g_b))
@@ -285,22 +312,27 @@ def solve_lw(
                 lkp_aero, as_, delta_scaling=False, collect_aod=False,
                 active_species=aero_species,
             )
-        flux_up, flux_dn = lw2_mega(
+        out = lw2_mega(
             q_base, pack3, eta3, plk_lev, plk_sfc,
             bcs.sfc_emis.astype(jnp.float32),
             pallas_tables.fused_ilv,
             pallas_tables.minor_stack, pallas_tables.minor_proj,
             bcs.inc_flux, cld_b3, cld_mask, aero_b3, aero_act,
+            as_.cloud_state.cld_frac if gen else None,
+            cld_mask_seed if gen else None,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=pallas_tables.minor_ntp,
             slab=rows_per_slab(lkp.n_temp),
         )
+        flux_up, flux_dn = out[0], out[1]
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
         flux = _apply_metric_scaling(flux, metric_scaling)
         diag = SolveDiagnostics()
-        if cld_mask is not None:
+        if gen:
+            diag = diag._replace(cld_cover=out[2].astype(dtype))
+        elif cld_mask is not None:
             from ..ops.cloud_optics import cloud_cover_from_mask
 
             diag = diag._replace(
@@ -336,6 +368,13 @@ def solve_lw(
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
         flux = _apply_metric_scaling(flux, metric_scaling)
         return flux, SolveDiagnostics()
+
+    if cld_mask is None and cld_mask_seed is not None and lkp_cld is not None:
+        from ..ops.cloud_optics import build_cloud_mask_mcica
+
+        cld_mask = build_cloud_mask_mcica(
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+        )
 
     raw = None
     if pallas_tables is not None:
@@ -461,6 +500,7 @@ def solve_sw(
     pallas_sweep_cols: int = 16,         # RTE sweep column block; 128 on TPU
                                          # with utils.compile.tpu_compiler_options
     aero_species: tuple | None = None,   # STATIC active MERRA species indices
+    cld_mask_seed: jax.Array | None = None,  # () int32 in-kernel McICA (see solve_lw)
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -479,10 +519,22 @@ def solve_sw(
     # Megakernel path: whole SW solve (optics [+ cloud composition] + sweep)
     # in one kernel (see solve_lw)
     if (
+        cld_mask is None and cld_mask_seed is not None and lkp_cld is not None
+        and jax.default_backend() != "tpu"
+    ):
+        from ..ops.cloud_optics import build_cloud_mask_mcica
+
+        cld_mask = build_cloud_mask_mcica(
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+        )
+        cld_mask_seed = None
+
+    has_cld_input = cld_mask is not None or cld_mask_seed is not None
+    if (
         pallas_tables is not None and pallas_rte and two_stream
         and dtype == jnp.float32
         and pallas_windowed == "force" and ncol % 128 == 0
-        and (lkp_cld is None) == (cld_mask is None)
+        and (lkp_cld is None) == (not has_cld_input)
     ):
         from ..ops.cloud_optics import cloud_optics_bands, delta_scale
         from ..ops.gas_optics_pallas import mega_sw_inputs
@@ -507,19 +559,23 @@ def solve_sw(
                 active_species=aero_species,
             )
         toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]
-        flux_up, flux_dn, flux_dn_dir = sw_clear_mega(
+        gen = lkp_cld is not None and cld_mask is None
+        out = sw_clear_mega(
             q_base, pack3, eta3, mu0, toa_gpt,
             bcs.sfc_alb_direct, bcs.sfc_alb_diffuse,
             pallas_tables.fused_ilv,
             pallas_tables.ray_stack,
             pallas_tables.minor_stack, pallas_tables.minor_proj,
             bcs.inc_flux_diffuse, cld_b3, cld_mask, aero_b3, aero_act,
+            as_.cloud_state.cld_frac if gen else None,
+            cld_mask_seed if gen else None,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=pallas_tables.minor_ntp,
             slab=rows_per_slab(lkp.n_temp),
         )
+        flux_up, flux_dn, flux_dn_dir = out[0], out[1], out[2]
         day = (mu0 > 0)[None, :]
         flux_up = jnp.where(day, flux_up, 0.0)
         flux_dn = jnp.where(day, flux_dn, 0.0)
@@ -527,13 +583,22 @@ def solve_sw(
         flux = FluxSW(flux_up, flux_dn, flux_dn_dir, flux_up - flux_dn)
         flux = _apply_metric_scaling(flux, metric_scaling)
         diag = SolveDiagnostics(aod_sw_ext=aod_ext, aod_sw_sca=aod_sca)
-        if cld_mask is not None:
+        if gen:
+            diag = diag._replace(cld_cover=out[3].astype(dtype))
+        elif cld_mask is not None:
             from ..ops.cloud_optics import cloud_cover_from_mask
 
             diag = diag._replace(
                 cld_cover=cloud_cover_from_mask(cld_mask).astype(dtype)
             )
         return flux, diag
+
+    if cld_mask is None and cld_mask_seed is not None and lkp_cld is not None:
+        from ..ops.cloud_optics import build_cloud_mask_mcica
+
+        cld_mask = build_cloud_mask_mcica(
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+        )
 
     if pallas_tables is not None:
         from ..ops.gas_optics_pallas import gas_optics_sw as _pallas_sw

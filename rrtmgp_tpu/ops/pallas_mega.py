@@ -561,7 +561,7 @@ def _sw_mega_kernel(
     qb_ref,
     *args,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
-    slab, ray_rows, has_cloud, has_aero,
+    slab, ray_rows, has_cloud, has_aero, gen_mask, n_gpt,
 ):
     """SW two-stream megakernel, clear / cloudy (McICA) / aerosol sky.
 
@@ -575,6 +575,8 @@ def _sw_mega_kernel(
     (ref shortwave2stream.jl:226-311).
     """
     idx = 0
+    if gen_mask:
+        seed_ref = args[idx]; idx += 1            # scalar prefetch (1,) int32
     pack_ref = args[idx]; idx += 1
     loc1_ref, cm1_ref, loc2_ref, cm2_ref = args[idx : idx + 4]; idx += 4
     mu0_ref = args[idx]; idx += 1                 # (1, B)
@@ -583,7 +585,10 @@ def _sw_mega_kernel(
     incdif_ref = args[idx]; idx += 1              # (B, G)
     if has_cloud:
         ctau_ref, cssa_ref, cg_ref = args[idx : idx + 3]; idx += 3  # (nlay, mb, B)
-        mask_ref = args[idx]; idx += 1            # (nlay, B, G) i8
+        if gen_mask:
+            cf_ref = args[idx]; idx += 1          # (nlay, 8, B) f32 cloud frac
+        else:
+            mask_ref = args[idx]; idx += 1        # (nlay, B, G) i8
     if has_aero:
         atau_ref, assa_ref, ag_ref = args[idx : idx + 3]; idx += 3  # (nlay, mb, B)
         amask_ref = args[idx]; idx += 1           # (nlay, 8, B) f32 (row 0 used)
@@ -595,6 +600,8 @@ def _sw_mega_kernel(
     mk_stack = args[idx : idx + n_groups]; idx += n_groups
     mk_proj = args[idx : idx + n_groups]; idx += n_groups
     up_ref, dn_ref, dir_ref = args[idx : idx + 3]; idx += 3
+    if gen_mask:
+        cover_ref = args[idx]; idx += 1           # (B, 8) McICA cloud cover
     (kilv_tab, transd_s, rdir_s, tdir_s, rdif_s, tdif_s,
      dirf, albedo, src, up_acc, dn_acc, sem) = args[idx : idx + 12]
 
@@ -618,8 +625,19 @@ def _sw_mega_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    # phase 1: optics + compose + coefficients into scratch
-    def optics_step(l, carry):
+    # phase 1: optics + compose + coefficients into scratch. Runs TOP-DOWN so
+    # the McICA max-random-overlap recurrence (ref cloud_optics.jl:222-261)
+    # can sample the cloud mask inline from the TPU PRNG (counter-based:
+    # seed x column block; draws sequential in descending layer order).
+    if gen_mask:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    b_cols = up_acc.shape[1]
+    zeroc = jnp.zeros((b_cols, npad), jnp.float32)
+    zero1 = jnp.zeros((b_cols, 1), jnp.float32)
+
+    def optics_step(i, carry):
+        l = nlay - 1 - i
+        u_above, m_above, cf_above, started, anyc = carry
         tau, ssa = _optics_phase(
             l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
             kilv_tab, mk_stack, mk_proj, ray_tab,
@@ -631,7 +649,28 @@ def _sw_mega_kernel(
             tc = expand(ctau_ref[l].T)
             sc = expand(cssa_ref[l].T)
             gc = expand(cg_ref[l].T)
-            m = mask_ref[l] != 0
+            if gen_mask:
+                bits = pltpu.prng_random_bits((b_cols, npad))
+                # logical shift: the raw bits are signed int32
+                u_i = jax.lax.shift_right_logical(bits, 8).astype(
+                    jnp.float32
+                ) * (1.0 / (1 << 24))
+                cf_i = cf_ref[l][0:1].T  # (B, 1)
+                u_eff = jnp.where(
+                    started > 0.0,
+                    jnp.where(m_above > 0.0, u_above, u_i * (1.0 - cf_above)),
+                    u_i,
+                )
+                cloudy = cf_i > 0.0
+                m = jnp.logical_and(cloudy, u_eff >= (1.0 - cf_i))
+                m_f = m.astype(jnp.float32)
+                carry = (
+                    u_eff, m_f, cf_i,
+                    jnp.maximum(started, (cf_i > 0.0).astype(jnp.float32)),
+                    jnp.maximum(anyc, m_f),
+                )
+            else:
+                m = mask_ref[l] != 0
             # increment_2stream with gas g = 0 (ref optics_utils.jl:157-163)
             tau_n = tau + tc
             ssa_w = tau * ssa + tc * sc
@@ -662,7 +701,15 @@ def _sw_mega_kernel(
         tdif_s[l] = Tdif
         return carry
 
-    jax.lax.fori_loop(0, nlay, optics_step, 0)
+    init = (zeroc, zeroc, zero1, zero1, zeroc)
+    carry_out = jax.lax.fori_loop(0, nlay, optics_step, init)
+    if gen_mask:
+        anyc = carry_out[4]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_cols, npad), 1)
+        cover = jnp.sum(
+            jnp.where(lane < n_gpt, anyc, 0.0), axis=-1, keepdims=True
+        ) * (1.0 / n_gpt)
+        cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
 
     # phase 2: direct beam TOA -> surface (pure multiplies)
     dir_top = toa_ref[:] * mu0
@@ -743,6 +790,9 @@ def sw_clear_mega(
     cld_mask: jax.Array | None = None,  # (nlay, ncol, ngpt) bool/i8 McICA mask
     aero_bands: tuple | None = None,  # (tau_b, ssa_b, g_b), PRE-delta-scaled
     aero_mask: jax.Array | None = None,  # (nlay, ncol) active mask
+    cld_frac: jax.Array | None = None,   # (nlay, ncol): in-kernel McICA via
+                                         # the TPU PRNG (with cld_seed)
+    cld_seed: jax.Array | None = None,   # () int32 counter seed
     *,
     nlay: int,
     window: int,
@@ -758,9 +808,12 @@ def sw_clear_mega(
 ):
     """Whole SW two-stream solve (clear / McICA-cloudy / aerosol) in one
     kernel; returns (flux_up, flux_dn, flux_dn_dir), each (nlev, ncol) f32,
-    spectrally reduced. Night-column zeroing is the caller's job."""
+    spectrally reduced (+ McICA cloud cover (ncol,) when cld_frac is given).
+    Night-column zeroing is the caller's job."""
     has_cloud = cld_bands is not None
     has_aero = aero_bands is not None
+    gen_mask = cld_frac is not None
+    assert not (gen_mask and cld_mask is not None)
     ncol = pack.shape[-1]
     nlev = nlay + 1
     gp = gpt_pad(n_gpt)
@@ -790,10 +843,15 @@ def sw_clear_mega(
         cld_bands = tuple(
             pad_band(x.astype(jnp.float32), 1) for x in cld_bands
         )
-        mask_i8 = jnp.pad(
-            cld_mask.astype(jnp.int8),
-            ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
-        )
+        if gen_mask:
+            cf8 = jnp.broadcast_to(
+                cld_frac.astype(jnp.float32)[:, None, :], (nlay, 8, ncol)
+            )
+        else:
+            mask_i8 = jnp.pad(
+                cld_mask.astype(jnp.int8),
+                ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
+            )
     if has_aero:
         aero_bands = tuple(
             pad_band(x.astype(jnp.float32), 1) for x in aero_bands
@@ -830,17 +888,23 @@ def sw_clear_mega(
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
         minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
         slab=slab, ray_rows=ray_rows, has_cloud=has_cloud, has_aero=has_aero,
+        gen_mask=gen_mask, n_gpt=n_gpt,
     )
     mask_spec = pl.BlockSpec(
         (nlay, block_cols, gp), lambda c, *_: (0, c, 0), memory_space=pltpu.VMEM
     )
-    cloud_specs = [lay3(mb)] * 3 + [mask_spec] if has_cloud else []
-    cloud_ops = [*cld_bands, mask_i8] if has_cloud else []
+    if has_cloud:
+        cloud_specs = [lay3(mb)] * 3 + ([lay3(8)] if gen_mask else [mask_spec])
+        cloud_ops = [*cld_bands, cf8 if gen_mask else mask_i8]
+    else:
+        cloud_specs, cloud_ops = [], []
     if has_aero:
         cloud_specs += [lay3(mb)] * 3 + [lay3(8)]
         cloud_ops += [*aero_bands, amask8]
+    cover_spec = pl.BlockSpec((block_cols, 8), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
+    out_specs = (red_spec, red_spec, red_spec) + ((cover_spec,) if gen_mask else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if gen_mask else 1,
         grid=(nblk,),
         in_specs=[
             lay3(npk),
@@ -855,7 +919,7 @@ def sw_clear_mega(
         ]
         + [full(k) for k in minor_stack]
         + [full(p) for p in minor_proj],
-        out_specs=(red_spec, red_spec, red_spec),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # direct trans
@@ -871,18 +935,27 @@ def sw_clear_mega(
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(3)
+    ) + (
+        (jax.ShapeDtypeStruct((ncol, 8), jnp.float32),) if gen_mask else ()
+    )
+    scalars = (q_base,) + (
+        (jnp.asarray(cld_seed, jnp.int32).reshape(1),) if gen_mask else ()
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(3)
-        ),
+        out_shape=out_shape,
         interpret=_interpret(),
     )(
-        q_base, pack, *eta_ops, mu0_2d, toa, alb_dir, alb_dif, inc,
+        *scalars, pack, *eta_ops, mu0_2d, toa, alb_dir, alb_dif, inc,
         *cloud_ops, kilv, ray_stack, m2, m5, *minor_stack, *minor_proj,
     )
-    return tuple(o.T for o in out)
+    fluxes = tuple(o.T for o in out[:3])
+    if gen_mask:
+        return fluxes + (out[3][:, 0],)
+    return fluxes
 
 
 # ---------------------------------------------------------------------------
@@ -895,7 +968,7 @@ def _lw2_mega_kernel(
     qb_ref,
     *args,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp, slab,
-    has_cloud, has_aero,
+    has_cloud, has_aero, gen_mask, n_gpt,
 ):
     """LW two-stream megakernel (ref longwave2stream.jl:110-253).
 
@@ -908,6 +981,8 @@ def _lw2_mega_kernel(
     pure top-down flux recurrence with in-kernel spectral reduction.
     """
     idx = 0
+    if gen_mask:
+        seed_ref = args[idx]; idx += 1            # scalar prefetch (1,) int32
     pack_ref = args[idx]; idx += 1
     loc1_ref, cm1_ref, loc2_ref, cm2_ref = args[idx : idx + 4]; idx += 4
     plke_ref = args[idx]; idx += 1                # (nlev, nbp, B)
@@ -915,7 +990,10 @@ def _lw2_mega_kernel(
     inc_ref = args[idx]; idx += 1                 # (B, G)
     if has_cloud:
         ctau_ref, cssa_ref, cg_ref = args[idx : idx + 3]; idx += 3
-        mask_ref = args[idx]; idx += 1            # (nlay, B, G) i8
+        if gen_mask:
+            cf_ref = args[idx]; idx += 1          # (nlay, 8, B) f32
+        else:
+            mask_ref = args[idx]; idx += 1        # (nlay, B, G) i8
     if has_aero:
         atau_ref, assa_ref, ag_ref = args[idx : idx + 3]; idx += 3
         amask_ref = args[idx]; idx += 1           # (nlay, 8, B) f32 (row 0 used)
@@ -926,6 +1004,9 @@ def _lw2_mega_kernel(
     mk_stack = args[idx : idx + n_groups]; idx += n_groups
     mk_proj = args[idx : idx + n_groups]; idx += n_groups
     up_ref, dn_ref = args[idx : idx + 2]; idx += 2
+    if gen_mask:
+        cover_ref = args[idx]; idx += 1           # (B, 8)
+        mask_s = args[idx]; idx += 1              # scratch (nlay, B, G) f32
     (kilv_tab, rdif_s, tdif_s, srcdn_s, albedo, src,
      up_acc, dn_acc, sem) = args[idx : idx + 9]
 
@@ -951,6 +1032,47 @@ def _lw2_mega_kernel(
         )
 
     emis_g = expand(emis_ref[:].T)
+    b_cols = up_acc.shape[1]
+
+    # mask pre-pass: the McICA recurrence runs TOP-DOWN while the main loop
+    # (adding recurrence + pfrac carry) must ascend, so the per-layer mask is
+    # sampled into VMEM scratch first (TPU PRNG, counter-based seed x block)
+    if gen_mask:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        zc = jnp.zeros((b_cols, npad), jnp.float32)
+        z1 = jnp.zeros((b_cols, 1), jnp.float32)
+
+        def mask_step(i, carry):
+            l = nlay - 1 - i
+            u_above, m_above, cf_above, started, anyc = carry
+            bits = pltpu.prng_random_bits((b_cols, npad))
+            # logical shift: the raw bits are signed int32
+            u_i = jax.lax.shift_right_logical(bits, 8).astype(
+                jnp.float32
+            ) * (1.0 / (1 << 24))
+            cf_i = cf_ref[l][0:1].T
+            u_eff = jnp.where(
+                started > 0.0,
+                jnp.where(m_above > 0.0, u_above, u_i * (1.0 - cf_above)),
+                u_i,
+            )
+            cloudy = cf_i > 0.0
+            m_f = jnp.logical_and(cloudy, u_eff >= (1.0 - cf_i)).astype(jnp.float32)
+            mask_s[l] = m_f
+            return (
+                u_eff, m_f, cf_i,
+                jnp.maximum(started, cloudy.astype(jnp.float32)),
+                jnp.maximum(anyc, m_f),
+            )
+
+        carry_out = jax.lax.fori_loop(
+            0, nlay, mask_step, (zc, zc, z1, z1, zc)
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_cols, npad), 1)
+        cover = jnp.sum(
+            jnp.where(lane < n_gpt, carry_out[4], 0.0), axis=-1, keepdims=True
+        ) * (1.0 / n_gpt)
+        cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
 
     def layer_coeffs(tau, ssa, g, lev_bot, lev_top):
         """Meador-Weaver Rdif/Tdif + Toon sources (ref :110-161)."""
@@ -992,7 +1114,7 @@ def _lw2_mega_kernel(
             tc = expand(ctau_ref[l].T)
             sc = expand(cssa_ref[l].T)
             gc = expand(cg_ref[l].T)
-            m = mask_ref[l] != 0
+            m = mask_s[l] > 0.0 if gen_mask else mask_ref[l] != 0
             # increment_2stream with gas ssa = g = 0 (ref optics_utils.jl:157-163)
             tau_n = tau + tc
             ssa_w = tc * sc
@@ -1050,8 +1172,7 @@ def _lw2_mega_kernel(
         src_c = jnp.where(keep, src_n, src_c)
         return pf, tau_l, ssa_l, g_l, lev_val, alb_c, src_c
 
-    b = up_acc.shape[1]
-    zero = jnp.zeros((b, npad), jnp.float32)
+    zero = jnp.zeros((b_cols, npad), jnp.float32)
     pf_top, tau_top, ssa_top, g_top, lev_top_prev, alb_c, src_c = jax.lax.fori_loop(
         0, nlay, optics_step, (zero,) * 7
     )
@@ -1110,6 +1231,8 @@ def lw2_mega(
     cld_mask: jax.Array | None = None,  # (nlay, ncol, ngpt) bool McICA mask
     aero_bands: tuple | None = None,  # (tau_b, ssa_b, g_b) each (nlay, nbnd, ncol)
     aero_mask: jax.Array | None = None,  # (nlay, ncol) active mask
+    cld_frac: jax.Array | None = None,   # (nlay, ncol): in-kernel McICA
+    cld_seed: jax.Array | None = None,   # () int32 counter seed
     *,
     nlay: int,
     window: int,
@@ -1124,9 +1247,12 @@ def lw2_mega(
     block_cols: int = 128,
 ):
     """Whole LW two-stream solve (clear / McICA-cloudy / aerosol) in one
-    kernel; returns (flux_up, flux_dn), each (nlev, ncol) f32, reduced."""
+    kernel; returns (flux_up, flux_dn), each (nlev, ncol) f32, reduced
+    (+ McICA cloud cover (ncol,) when cld_frac is given)."""
     has_cloud = cld_bands is not None
     has_aero = aero_bands is not None
+    gen_mask = cld_frac is not None
+    assert not (gen_mask and cld_mask is not None)
     ncol = pack.shape[-1]
     nlev = nlay + 1
     gp = gpt_pad(n_gpt)
@@ -1156,10 +1282,15 @@ def lw2_mega(
     plk_sfc = pad_band(plk_sfc, 0)
     if has_cloud:
         cld_bands = tuple(pad_band(x.astype(jnp.float32), 1) for x in cld_bands)
-        mask_i8 = jnp.pad(
-            cld_mask.astype(jnp.int8),
-            ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
-        )
+        if gen_mask:
+            cf8 = jnp.broadcast_to(
+                cld_frac.astype(jnp.float32)[:, None, :], (nlay, 8, ncol)
+            )
+        else:
+            mask_i8 = jnp.pad(
+                cld_mask.astype(jnp.int8),
+                ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
+            )
     if has_aero:
         aero_bands = tuple(pad_band(x.astype(jnp.float32), 1) for x in aero_bands)
         amask8 = jnp.broadcast_to(
@@ -1195,14 +1326,18 @@ def lw2_mega(
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
         minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
         slab=slab, has_cloud=has_cloud, has_aero=has_aero,
+        gen_mask=gen_mask, n_gpt=n_gpt,
     )
-    cloud_specs = [lay3(mb)] * 3 + [mask_spec] if has_cloud else []
-    cloud_ops = [*cld_bands, mask_i8] if has_cloud else []
+    if has_cloud:
+        cloud_specs = [lay3(mb)] * 3 + ([lay3(8)] if gen_mask else [mask_spec])
+        cloud_ops = [*cld_bands, cf8 if gen_mask else mask_i8]
+    else:
+        cloud_specs, cloud_ops = [], []
     if has_aero:
         cloud_specs += [lay3(mb)] * 3 + [lay3(8)]
         cloud_ops += [*aero_bands, amask8]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if gen_mask else 1,
         grid=(nblk,),
         in_specs=[
             lay3(npk),
@@ -1214,8 +1349,12 @@ def lw2_mega(
         + [pl.BlockSpec(memory_space=pltpu.ANY), full(m2), full(m5)]
         + [full(k) for k in minor_stack]
         + [full(p) for p in minor_proj],
-        out_specs=(red_spec, red_spec),
-        scratch_shapes=[
+        out_specs=(red_spec, red_spec) + (
+            (pl.BlockSpec((block_cols, 8), lambda c, *_: (c, 0), memory_space=pltpu.VMEM),)
+            if gen_mask else ()
+        ),
+        scratch_shapes=([pltpu.VMEM((nlay, block_cols, gp), jnp.float32)] if gen_mask else [])
+        + [
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdif
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdif
@@ -1227,15 +1366,24 @@ def lw2_mega(
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(2)
+    ) + (
+        (jax.ShapeDtypeStruct((ncol, 8), jnp.float32),) if gen_mask else ()
+    )
+    scalars = (q_base,) + (
+        (jnp.asarray(cld_seed, jnp.int32).reshape(1),) if gen_mask else ()
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(2)
-        ),
+        out_shape=out_shape,
         interpret=_interpret(),
     )(
-        q_base, pack, *eta_ops, plk_lev, plk_sfc, sfc_emis, inc,
+        *scalars, pack, *eta_ops, plk_lev, plk_sfc, sfc_emis, inc,
         *cloud_ops, kilv, m2, m5, *minor_stack, *minor_proj,
     )
-    return tuple(o.T for o in out)
+    fluxes = tuple(o.T for o in out[:2])
+    if gen_mask:
+        return fluxes + (out[2][:, 0],)
+    return fluxes

@@ -351,3 +351,55 @@ def test_sw_megakernel_cos_zenith_edge_cases():
         a = np.asarray(getattr(out, name))
         assert np.isfinite(a).all(), name
         assert np.all(a[:, 0] == 0.0) and np.all(a[:, 2] == 0.0), name
+
+
+def test_megakernel_inkernel_mcica_deterministic():
+    """cld_mask_seed (in-kernel TPU-PRNG McICA) must reproduce the external-
+    mask path exactly when cld_frac is {0,1} (deterministic sampling — the
+    reference's test configuration, ref test/runtests.jl:44-45)."""
+    import jax
+
+    from rrtmgp_tpu.data.synthetic import synthetic_cloud_lookup
+    from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import LwBCs, SwBCs
+
+    ncol = 128
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32, with_clouds=True)
+    seed = jnp.asarray(7, jnp.int32)
+    for longwave in (True, False):
+        lkp = synthetic_gas_lookup(
+            longwave=longwave, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32
+        )
+        lkp_cld = synthetic_cloud_lookup(n_bnd=4, dtype=np.float32)
+        mask = build_cloud_mask_mcica(
+            jax.random.key(0), atm.cloud_state.cld_frac, lkp.n_gpt
+        )
+        win = compute_min_window(lkp, atm, mega=True)
+        tabs = gp.build_pallas_tables(lkp)
+        com = dict(
+            pallas_tables=tabs, pallas_rte=True,
+            pallas_windowed="force", pallas_window=win, lkp_cld=lkp_cld,
+        )
+        if longwave:
+            bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
+            ref, dref = solve_lw(lkp, atm, bcs, two_stream=True, cld_mask=mask, **com)
+            out, dout = solve_lw(
+                lkp, atm, bcs, two_stream=True, cld_mask_seed=seed, **com
+            )
+        else:
+            bcs = SwBCs(
+                cos_zenith=jnp.full((ncol,), 0.6, jnp.float32),
+                toa_flux=jnp.full((ncol,), 1361.0, jnp.float32),
+                sfc_alb_direct=jnp.full((lkp.n_bnd, ncol), 0.2, jnp.float32),
+                sfc_alb_diffuse=jnp.full((lkp.n_bnd, ncol), 0.25, jnp.float32),
+            )
+            ref, dref = solve_sw(lkp, atm, bcs, cld_mask=mask, **com)
+            out, dout = solve_sw(lkp, atm, bcs, cld_mask_seed=seed, **com)
+        np.testing.assert_allclose(
+            np.asarray(ref.flux_up), np.asarray(out.flux_up), rtol=1e-6, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dref.cld_cover), np.asarray(dout.cld_cover), rtol=1e-6
+        )
