@@ -315,25 +315,21 @@ class RRTMGPSolver:
 
         if cloudy:
 
-            def lw_cloudy(atm, bcs, key):
-                mask = build_cloud_mask_mcica(
-                    key, atm.cloud_state.cld_frac, lk.lookup_lw.n_gpt
-                )
+            def lw_cloudy(atm, bcs, seed):
                 return _solvers.solve_lw(
                     lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw,
-                    lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero, cld_mask=mask,
+                    lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero,
+                    cld_mask_seed=seed,
                     pallas_tables=tabs_lw, pallas_window=win_lw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
                     aero_species=aspec,
                 )
 
-            def sw_cloudy(atm, bcs, key):
-                mask = build_cloud_mask_mcica(
-                    key, atm.cloud_state.cld_frac, lk.lookup_sw.n_gpt
-                )
+            def sw_cloudy(atm, bcs, seed):
                 return _solvers.solve_sw(
                     lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw,
-                    lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero, cld_mask=mask,
+                    lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero,
+                    cld_mask_seed=seed,
                     pallas_tables=tabs_sw, pallas_window=win_sw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
                     aero_species=aspec,
@@ -343,11 +339,11 @@ class RRTMGPSolver:
             self._sw_cloudy = jax.jit(sw_cloudy, compiler_options=copts)
 
     def _mcica_key(self, wave: int):
-        """Counter-based key derived from the step number: the reset_rng_seed
+        """Counter-based seed derived from the step number: the reset_rng_seed
         reproducibility contract (ref api_types.jl:75-85) holds by
         construction — setting the same step reproduces the same McICA
         sampling bitwise."""
-        return jax.random.fold_in(jax.random.key(self._step), wave)
+        return jnp.asarray(2 * self._step + wave, jnp.int32)
 
     def advance_step(self, step: int | None = None):
         """Advance (or set) the timestep used for McICA keys."""
