@@ -50,12 +50,11 @@ def main():
     win_sw = compute_min_window(lkp_sw, atm, mega=True)
     copts = tpu_compiler_options()
     scols = sweep_block_cols()
-    mask_lw = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, 256)
-    mask_sw = build_cloud_mask_mcica(jax.random.key(1), atm.cloud_state.cld_frac, 224)
+    seed = jnp.asarray(0, jnp.int32)
 
     f_lw = jax.jit(
         lambda a, b, m: solve_lw(
-            lkp_lw, a, b, two_stream=True, lkp_cld=lkp_cld_lw, cld_mask=m,
+            lkp_lw, a, b, two_stream=True, lkp_cld=lkp_cld_lw, cld_mask_seed=m,
             pallas_tables=tabs_lw, pallas_windowed="force",
             pallas_window=win_lw, pallas_sweep_cols=scols,
         )[0],
@@ -63,28 +62,28 @@ def main():
     )
     f_sw = jax.jit(
         lambda a, b, m: solve_sw(
-            lkp_sw, a, b, lkp_cld=lkp_cld_sw, cld_mask=m,
+            lkp_sw, a, b, lkp_cld=lkp_cld_sw, cld_mask_seed=m,
             pallas_tables=tabs_sw, pallas_windowed="force",
             pallas_window=win_sw, pallas_sweep_cols=scols,
         )[0],
         compiler_options=copts,
     )
-    jax.block_until_ready(f_lw(atm, bcs_lw, mask_lw))
-    jax.block_until_ready(f_sw(atm, bcs_sw, mask_sw))
+    jax.block_until_ready(f_lw(atm, bcs_lw, seed))
+    jax.block_until_ready(f_sw(atm, bcs_sw, seed))
 
     import time
     t0 = time.perf_counter()
     for _ in range(5):
-        r1 = f_lw(atm, bcs_lw, mask_lw)
-        r2 = f_sw(atm, bcs_sw, mask_sw)
+        r1 = f_lw(atm, bcs_lw, seed)
+        r2 = f_sw(atm, bcs_sw, seed)
     jax.block_until_ready((r1, r2))
     print(f"# allsky LW+SW wall: {(time.perf_counter()-t0)/5*1e3:.2f} ms/iter")
 
     logdir = "/tmp/rrtmgp_prof_allsky"
     jax.profiler.start_trace(logdir)
     for _ in range(3):
-        r1 = f_lw(atm, bcs_lw, mask_lw)
-        r2 = f_sw(atm, bcs_sw, mask_sw)
+        r1 = f_lw(atm, bcs_lw, seed)
+        r2 = f_sw(atm, bcs_sw, seed)
     jax.block_until_ready((r1, r2))
     jax.profiler.stop_trace()
 

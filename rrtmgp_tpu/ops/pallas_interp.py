@@ -266,8 +266,8 @@ def interp_pt_eta_windowed(
             row_spec(1), row_spec(1), row_spec(1),
             row_spec(nbnd), row_spec(nbnd), row_spec(nbnd), row_spec(nbnd),
             row_spec(nbnd), row_spec(nbnd),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k2_hi stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k2_lo
+            pl.BlockSpec(memory_space=pl.ANY),  # k2_hi stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # k2_lo
             pl.BlockSpec(m.shape, lambda l, c, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -767,8 +767,8 @@ def optics_fused(
     in_specs = [
         tcol(pack.shape[0]),
         tcol(nbnd), tcol(nbnd), tcol(nbnd), tcol(nbnd),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         full(m2),
     ] + [full(k) for k in minor_stack] + [full(p) for p in minor_proj]
     operands = [pack, *eta_ops, k2_hi, k2_lo, m2, *minor_stack, *minor_proj]

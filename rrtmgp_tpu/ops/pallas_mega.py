@@ -521,7 +521,7 @@ def lw_clear_mega(
             lay3(eta_ops[2].shape[1]), lay3(eta_ops[3].shape[1]),
             lay3(nbp), lev3(nbp), band2(nbp), band2(sfc_emis.shape[0]),
             col_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             full(m2), full(m5),
         ]
         + [full(k) for k in minor_stack]
@@ -913,7 +913,7 @@ def sw_clear_mega(
         ]
         + cloud_specs
         + [
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             full(ray_stack),
             full(m2), full(m5),
         ]
@@ -1346,7 +1346,7 @@ def lw2_mega(
             col_spec,
         ]
         + cloud_specs
-        + [pl.BlockSpec(memory_space=pltpu.ANY), full(m2), full(m5)]
+        + [pl.BlockSpec(memory_space=pl.ANY), full(m2), full(m5)]
         + [full(k) for k in minor_stack]
         + [full(p) for p in minor_proj],
         out_specs=(red_spec, red_spec) + (

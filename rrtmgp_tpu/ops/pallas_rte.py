@@ -446,7 +446,7 @@ def sw_2stream_pallas_reduced(
             ),
             interpret=_interpret(),
             grid=(ncp // block_cols,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nstream
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nstream
             + [col_spec] * 5,
             out_specs=(red_spec, red_spec, red_spec),
             out_shape=tuple(
@@ -813,7 +813,7 @@ def lw_2stream_pallas_reduced(
         ),
         interpret=_interpret(),
         grid=(ncp // block_cols,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + [col_spec] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [col_spec] * 3,
         out_specs=(red_spec, red_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((ncp, nlev), jnp.float32) for _ in range(2)
