@@ -403,3 +403,23 @@ def test_megakernel_inkernel_mcica_deterministic():
         np.testing.assert_allclose(
             np.asarray(dref.cld_cover), np.asarray(dout.cld_cover), rtol=1e-6
         )
+
+
+def test_lw_noscat_cloudy_pallas_matches_xla():
+    """Cloudy LW no-scat (absorption-only cloud add, ref cloud_optics.jl:1-49)
+    through the Pallas two-kernel path vs the XLA path."""
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.states import LwBCs
+
+    ncol = 128
+    lkp, atm, lkp_cld, mask = _cloudy_setup(True, ncol)
+    bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
+    kw = dict(two_stream=False, lkp_cld=lkp_cld, cld_mask=mask)
+    ref, _ = solve_lw(lkp, atm, bcs, pallas_rte=False, **kw)
+    tabs = gp.build_pallas_tables(lkp)
+    out, _ = solve_lw(lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True, **kw)
+    for name in ("flux_up", "flux_dn"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
