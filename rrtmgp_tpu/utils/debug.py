@@ -47,3 +47,13 @@ def assert_compiles_once(fn_name: str = ""):
             yield log
         finally:
             logger.removeHandler(handler)
+
+
+def check_window(lkp, as_, window: int) -> bool:
+    """Eagerly verify the force-mode megakernel window invariant for a given
+    atmosphere (hosts stepping far from their init state should call this
+    periodically; a violated window in force mode reads wrong table rows).
+    Returns True when every layer's rows fit."""
+    from ..ops.gas_optics_pallas import compute_min_window
+
+    return compute_min_window(lkp, as_, mega=True) <= window
