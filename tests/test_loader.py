@@ -231,3 +231,168 @@ def test_loaded_lookup_runs_solver(lw_file):
     flux, _ = jax.jit(lambda a, b: solve_lw(lkp, a, b))(atm, bcs)
     assert bool(jnp.all(jnp.isfinite(flux.flux_up)))
     assert float(jnp.min(flux.flux_up)) >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Cloud + aerosol lookup loaders (ref lookup_constructors.jl:602-624, 4-56)
+# ---------------------------------------------------------------------------
+
+CLD_NBND, NRGHICE, NSIZE_LIQ, NSIZE_ICE = 6, 3, 10, 12
+AER_NBND, NVAL, NBIN, NRH = 6, 3, 4, 7
+
+
+def _write_cloud_nc(path):
+    """rrtmgp-clouds-*-bnd.nc shaped file. C-order dims mirror the real files
+    (Julia reads them reversed: extliq -> (nsize_liq, nband), extice ->
+    (nsize_ice, nband, nrghice))."""
+    from scipy.io import netcdf_file
+
+    rng = np.random.default_rng(11)
+    f = netcdf_file(path, "w")
+    f.createDimension("nband", CLD_NBND)
+    f.createDimension("nrghice", NRGHICE)
+    f.createDimension("nsize_liq", NSIZE_LIQ)
+    f.createDimension("nsize_ice", NSIZE_ICE)
+    f.createDimension("pair", 2)
+    f.createDimension("one", 1)
+
+    def mk(name, dims, data):
+        v = f.createVariable(name, "d", dims)
+        v[:] = data
+        return v
+
+    mk("radliq_lwr", ("one",), np.array([2.5]))
+    mk("radliq_upr", ("one",), np.array([21.5]))
+    mk("diamice_lwr", ("one",), np.array([20.0]))
+    mk("diamice_upr", ("one",), np.array([180.0]))
+    for k in ("extliq", "ssaliq", "asyliq"):
+        mk(k, ("nband", "nsize_liq"), rng.random((CLD_NBND, NSIZE_LIQ)))
+    for k in ("extice", "ssaice", "asyice"):
+        mk(k, ("nrghice", "nband", "nsize_ice"), rng.random((NRGHICE, CLD_NBND, NSIZE_ICE)))
+    wn = np.stack([np.arange(CLD_NBND) * 500.0 + 10.0, np.arange(CLD_NBND) * 500.0 + 510.0], 1)
+    mk("bnd_limits_wavenumber", ("nband", "pair"), wn)
+    f.close()
+    return wn
+
+
+def _write_aerosol_nc(path):
+    """rrtmgp-aerosols-merra-*.nc shaped file; band 3 spans 550 nm
+    (16000-20000 cm^-1)."""
+    from scipy.io import netcdf_file
+
+    rng = np.random.default_rng(12)
+    f = netcdf_file(path, "w")
+    f.createDimension("nband", AER_NBND)
+    f.createDimension("nval", NVAL)
+    f.createDimension("nbin", NBIN)
+    f.createDimension("nrh", NRH)
+    f.createDimension("pair", 2)
+
+    def mk(name, dims, data):
+        v = f.createVariable(name, "d", dims)
+        v[:] = data
+        return v
+
+    mk("merra_aero_bin_lims", ("nbin", "pair"), np.stack([np.arange(NBIN) * 1e-6, (np.arange(NBIN) + 1) * 1e-6], 1))
+    mk("aero_rh", ("nrh",), np.linspace(0.0, 0.99, NRH))
+    mk("aero_dust_tbl", ("nband", "nbin", "nval"), rng.random((AER_NBND, NBIN, NVAL)))
+    mk("aero_salt_tbl", ("nband", "nbin", "nrh", "nval"), rng.random((AER_NBND, NBIN, NRH, NVAL)))
+    mk("aero_sulf_tbl", ("nband", "nrh", "nval"), rng.random((AER_NBND, NRH, NVAL)))
+    mk("aero_bcar_rh_tbl", ("nband", "nrh", "nval"), rng.random((AER_NBND, NRH, NVAL)))
+    mk("aero_bcar_tbl", ("nband", "nval"), rng.random((AER_NBND, NVAL)))
+    mk("aero_ocar_rh_tbl", ("nband", "nrh", "nval"), rng.random((AER_NBND, NRH, NVAL)))
+    mk("aero_ocar_tbl", ("nband", "nval"), rng.random((AER_NBND, NVAL)))
+    wn = np.array([[100.0, 3000.0], [3000.0, 8000.0], [8000.0, 16000.0],
+                   [16000.0, 20000.0], [20000.0, 30000.0], [30000.0, 50000.0]])
+    mk("bnd_limits_wavenumber", ("nband", "pair"), wn)
+    f.close()
+
+
+@pytest.fixture(scope="module")
+def cld_file(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("nc") / "clouds-bnd.nc")
+    _write_cloud_nc(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def aero_file(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("nc") / "aerosols-merra.nc")
+    _write_aerosol_nc(p)
+    return p
+
+
+def test_load_cloud_lookup(cld_file):
+    from rrtmgp_tpu.data.loader import load_cloud_lookup
+
+    lkp = load_cloud_lookup(cld_file)
+    assert lkp.liq.shape == (3, NSIZE_LIQ, CLD_NBND)
+    assert lkp.ice.shape == (3, NSIZE_ICE, CLD_NBND, NRGHICE)
+    assert (lkp.nsize_liq, lkp.nsize_ice, lkp.nrghice) == (NSIZE_LIQ, NSIZE_ICE, NRGHICE)
+    assert float(lkp.radliq_lwr) == 2.5 and float(lkp.radliq_upr) == 21.5
+    # ice radius bounds are file diameters halved (ref lookup_constructors.jl:615-618)
+    assert float(lkp.radice_lwr) == 10.0 and float(lkp.radice_upr) == 90.0
+    # value round-trip: extliq row of band 0
+    ds = Dataset(cld_file)
+    np.testing.assert_allclose(
+        np.asarray(lkp.liq)[0, :, 0], np.asarray(ds["extliq"])[0, :], rtol=1e-12
+    )
+
+
+def test_load_aerosol_lookup(aero_file):
+    from rrtmgp_tpu.data.loader import load_aerosol_lookup
+
+    lkp = load_aerosol_lookup(aero_file)
+    assert lkp.dust.shape == (3, NBIN, AER_NBND)
+    assert lkp.sea_salt.shape == (3, NRH, NBIN, AER_NBND)
+    assert lkp.sulfate.shape == (3, NRH, AER_NBND)
+    assert lkp.black_carbon.shape == (3, AER_NBND)
+    assert lkp.iband_550nm == 3  # 550nm = 18181.8 cm^-1, inside band 3
+    assert (lkp.n_bin, lkp.n_rh) == (NBIN, NRH)
+    ds = Dataset(aero_file)
+    np.testing.assert_allclose(
+        np.asarray(lkp.dust)[:, 0, 0], np.asarray(ds["aero_dust_tbl"])[0, 0, :], rtol=1e-12
+    )
+
+
+def test_loaded_cld_aero_lookups_run_solver(lw_file, cld_file, aero_file):
+    """File-backed gas+cloud+aerosol lookups drive a cloudy LW solve (the
+    cloud/aerosol files intentionally have nband != gas nband is NOT allowed,
+    so this uses matching synthetic band counts via the gas file's bands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rrtmgp_tpu.data.loader import load_aerosol_lookup, load_cloud_lookup, load_gas_lookup
+    from rrtmgp_tpu.data.synthetic import synthetic_atmosphere
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+    from rrtmgp_tpu.states import LwBCs
+
+    lkp = load_gas_lookup(lw_file)
+    # rebuild band-matched cloud/aerosol files (gas file has NBND=2 bands)
+    import dataclasses as dc
+
+    lkp_cld = load_cloud_lookup(cld_file)
+    lkp_aero = load_aerosol_lookup(aero_file)
+    lkp_cld = dc.replace(lkp_cld, liq=lkp_cld.liq[:, :, :NBND], ice=lkp_cld.ice[:, :, :NBND],
+                         bnd_lims_wn=lkp_cld.bnd_lims_wn[:, :NBND])
+    lkp_aero = dc.replace(
+        lkp_aero,
+        dust=lkp_aero.dust[..., :NBND], sea_salt=lkp_aero.sea_salt[..., :NBND],
+        sulfate=lkp_aero.sulfate[..., :NBND],
+        black_carbon_rh=lkp_aero.black_carbon_rh[..., :NBND],
+        black_carbon=lkp_aero.black_carbon[..., :NBND],
+        organic_carbon_rh=lkp_aero.organic_carbon_rh[..., :NBND],
+        organic_carbon=lkp_aero.organic_carbon[..., :NBND],
+        bnd_lims_wn=lkp_aero.bnd_lims_wn[:, :NBND], iband_550nm=-1,
+    )
+    atm = synthetic_atmosphere(ncol=4, nlay=20, ngas=len(GASES), p_top=12.0,
+                               with_clouds=True, with_aerosols=True)
+    bcs = LwBCs(sfc_emis=jnp.full((NBND, 4), 0.98))
+    mask = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, NGPT)
+    flux, _ = jax.jit(
+        lambda a, b, m: solve_lw(lkp, a, b, two_stream=True, lkp_cld=lkp_cld,
+                                 cld_mask=m, lkp_aero=lkp_aero)
+    )(atm, bcs, mask)
+    assert bool(jnp.all(jnp.isfinite(flux.flux_up)))
+    assert float(jnp.min(flux.flux_up)) >= 0.0
