@@ -12,7 +12,9 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-NCOL = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+_args = [a for a in sys.argv[1:] if a != "--aero"]
+WITH_AERO = "--aero" in sys.argv[1:]
+NCOL = int(_args[0]) if _args else 8192
 NLAY = 60
 
 
@@ -36,7 +38,18 @@ def main():
     lkp_sw = synthetic_gas_lookup(longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype)
     lkp_cld_lw = synthetic_cloud_lookup(n_bnd=16, dtype=dtype)
     lkp_cld_sw = synthetic_cloud_lookup(n_bnd=14, seed=5, dtype=dtype)
-    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=dtype, with_clouds=True)
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=dtype, with_clouds=True,
+                               with_aerosols=WITH_AERO)
+    lkp_aero_lw = lkp_aero_sw = None
+    aero_species = None
+    if WITH_AERO:
+        from rrtmgp_tpu.data.synthetic import synthetic_aerosol_lookup
+
+        lkp_aero_lw = synthetic_aerosol_lookup(n_bnd=16, dtype=dtype)
+        lkp_aero_sw = synthetic_aerosol_lookup(n_bnd=14, seed=9, dtype=dtype)
+        m = np.asarray(atm.aerosol_state.aero_mass)
+        aero_species = tuple(int(i) for i in np.nonzero(m.any(axis=(1, 2)))[0])
+        print(f"# active aerosol species: {aero_species}")
     bcs_lw = LwBCs(sfc_emis=jnp.full((16, NCOL), 0.98, jnp.float32))
     bcs_sw = SwBCs(
         cos_zenith=jnp.full((NCOL,), 0.6, jnp.float32),
@@ -55,6 +68,7 @@ def main():
     f_lw = jax.jit(
         lambda a, b, m: solve_lw(
             lkp_lw, a, b, two_stream=True, lkp_cld=lkp_cld_lw, cld_mask_seed=m,
+            lkp_aero=lkp_aero_lw, aero_species=aero_species,
             pallas_tables=tabs_lw, pallas_windowed="force",
             pallas_window=win_lw, pallas_sweep_cols=scols,
         )[0],
@@ -63,6 +77,7 @@ def main():
     f_sw = jax.jit(
         lambda a, b, m: solve_sw(
             lkp_sw, a, b, lkp_cld=lkp_cld_sw, cld_mask_seed=m,
+            lkp_aero=lkp_aero_sw, aero_species=aero_species,
             pallas_tables=tabs_sw, pallas_windowed="force",
             pallas_window=win_sw, pallas_sweep_cols=scols,
         )[0],
