@@ -287,6 +287,8 @@ class RRTMGPSolver:
             win_sw = compute_min_window(lk.lookup_sw, self.as_, mega=mega) + margin
         self._pallas_lw = tabs_lw
         self._pallas_sw = tabs_sw
+        self._win_lw = win_lw
+        self._win_sw = win_sw
         copts = tpu_compiler_options()
         scols = sweep_block_cols()
 
@@ -348,6 +350,28 @@ class RRTMGPSolver:
     def advance_step(self, step: int | None = None):
         """Advance (or set) the timestep used for McICA keys."""
         self._step = self._step + 1 if step is None else step
+
+    def check_window(self, as_=None) -> bool:
+        """Validate the init-computed force-mode kernel window against the
+        current (possibly host-drifted) atmosphere. The default "force" mode
+        trusts the init window (+16 rows of margin, ~4 temperature-grid
+        steps); hosts stepping temperatures/pressures far from their initial
+        state should call this periodically — a violated window in force mode
+        reads wrong table rows. Cheap (one eager min/max over p/t). Always
+        True off-TPU or for gray radiation."""
+        if isinstance(self.radiation_method, GrayRadiation):
+            return True
+        if jax.default_backend() != "tpu":
+            return True
+        from .ops.gas_optics_pallas import compute_min_window
+
+        atm = self.as_ if as_ is None else as_
+        mega = self.pallas_windowed == "force"
+        lk = self.lookups
+        return (
+            compute_min_window(lk.lookup_lw, atm, mega=mega) <= self._win_lw
+            and compute_min_window(lk.lookup_sw, atm, mega=mega) <= self._win_sw
+        )
 
     # -- flux updates (ref api.jl:115-176) ----------------------------------
 

@@ -155,3 +155,10 @@ def test_volume_mixing_ratio_and_aero_getters():
     assert r.shape == (NLAY, NCOL)
     m = s.aero_column_mass_density("sulfate")
     assert float(jnp.max(m)) > 0.0
+
+
+def test_check_window_off_tpu_and_gray():
+    s = _solver(rt.ClearSkyRadiation(False))
+    # off-TPU the megakernel window is not in play: always valid
+    assert s.check_window() is True
+    assert s.check_window(dataclasses.replace(s.as_, t_lay=s.as_.t_lay + 50.0)) is True
