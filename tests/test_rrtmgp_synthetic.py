@@ -242,3 +242,60 @@ def test_gas_optics_tau_nonnegative():
     assert float(jnp.min(sw.ssa)) >= 0.0
     assert float(jnp.max(sw.ssa)) <= 1.0
     assert float(jnp.min(lw.sources.lev_source)) > 0.0
+
+
+def test_f32_dtype_matrix():
+    """f32 is first-class like the reference's Float32 test matrix
+    (ref test/runtests.jl:21-30): the same invariants hold at f32
+    tolerances (isothermal equilibrium ~1e-4 rel, night columns exact,
+    SW energy conservation exact)."""
+    lkp_lw = synthetic_gas_lookup(longwave=True, n_gpt=NGPT, n_bnd=NBND, dtype=np.float32)
+    lkp_sw = synthetic_gas_lookup(longwave=False, n_gpt=NGPT, n_bnd=NBND, seed=1, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=np.float32)
+    f32 = jnp.float32
+
+    # isothermal equilibrium at f32
+    pf = np.asarray(lkp_lw.planck_fraction)
+    pf_const = jnp.asarray(np.broadcast_to(pf[:, :1, :, :1], pf.shape))
+    lkp_iso = dataclasses.replace(lkp_lw, planck_fraction=pf_const)
+    T0 = 280.0
+    vmr = dataclasses.replace(
+        atm.vmr,
+        vmr_h2o=jnp.full_like(atm.vmr.vmr_h2o, 1e-3),
+        vmr_o3=jnp.full_like(atm.vmr.vmr_o3, 1e-6),
+    )
+    iso = dataclasses.replace(
+        atm,
+        t_lay=jnp.full_like(atm.t_lay, T0),
+        t_lev=jnp.full_like(atm.t_lev, T0),
+        t_sfc=jnp.full_like(atm.t_sfc, T0),
+        vmr=vmr,
+    )
+    flux = jax.jit(lambda a, b: solve_lw(lkp_iso, a, b)[0])(
+        iso, LwBCs(sfc_emis=jnp.ones((NBND, NCOL), f32))
+    )
+    assert flux.flux_up.dtype == f32
+    expect = float(
+        jnp.pi * sum(
+            _planck_interp_band(lkp_lw, jnp.asarray(T0, f32), b) for b in range(NBND)
+        )
+    )
+    np.testing.assert_allclose(np.asarray(flux.flux_up), expect, rtol=2e-4)
+
+    # SW night-column zeroing + energy conservation at f32
+    bcs = SwBCs(
+        cos_zenith=jnp.asarray([0.6, 0.0, -0.2, 1e-6] * (NCOL // 4), f32),
+        toa_flux=jnp.full((NCOL,), 1361.0, f32),
+        sfc_alb_direct=jnp.full((NBND, NCOL), 0.2, f32),
+        sfc_alb_diffuse=jnp.full((NBND, NCOL), 0.2, f32),
+    )
+    fsw = jax.jit(lambda a, b: solve_sw(lkp_sw, a, b)[0])(atm, bcs)
+    assert fsw.flux_up.dtype == f32
+    up = np.asarray(fsw.flux_up)
+    assert np.all(np.isfinite(up))
+    night = np.asarray(bcs.cos_zenith) <= 0
+    assert np.all(up[:, night] == 0.0)
+    incoming = np.asarray(bcs.toa_flux) * np.asarray(bcs.cos_zenith)
+    day = ~night
+    assert np.all(up[-1, day] <= incoming[day] + 1e-4)
+    assert float(jnp.min(fsw.flux_up)) >= 0.0
