@@ -66,6 +66,33 @@ def get_input_filename(kind: str, band_set: str) -> str:
     return os.path.join(root, _INPUT_FILES[(kind, band_set)])
 
 
+_REFERENCE_FLUX_FILES = {
+    # ref test/reference_files.jl:15-46 (Fortran RTE-RRTMGP outputs)
+    ("gas", "lw", "flux_up"): ("rfmip-clear-sky", "rlu_Efx_RTE-RRTMGP-181204_rad-irf_r1i1p1f1_gn.nc"),
+    ("gas", "lw", "flux_dn"): ("rfmip-clear-sky", "rld_Efx_RTE-RRTMGP-181204_rad-irf_r1i1p1f1_gn.nc"),
+    ("gas", "sw", "flux_up"): ("rfmip-clear-sky", "rsu_Efx_RTE-RRTMGP-181204_rad-irf_r1i1p1f1_gn.nc"),
+    ("gas", "sw", "flux_dn"): ("rfmip-clear-sky", "rsd_Efx_RTE-RRTMGP-181204_rad-irf_r1i1p1f1_gn.nc"),
+    ("gas_clouds", "lw", None): ("all-sky", "rrtmgp-allsky-lw-no-aerosols.nc"),
+    ("gas_clouds", "sw", None): ("all-sky", "rrtmgp-allsky-sw-no-aerosols.nc"),
+    ("gas_clouds_aerosols", "lw", None): ("all-sky", "rrtmgp-allsky-lw.nc"),
+    ("gas_clouds_aerosols", "sw", None): ("all-sky", "rrtmgp-allsky-sw.nc"),
+}
+
+
+def get_reference_filename(problemtype: str, band_set: str, flux: str | None = None) -> str:
+    """Absolute path of a Fortran RTE-RRTMGP reference-flux file
+    (ref test/reference_files.jl:15-46). problemtype in {gas, gas_clouds,
+    gas_clouds_aerosols}; flux in {flux_up, flux_dn} for the gas (RFMIP)
+    files, None for the all-sky files (fluxes live in one file there)."""
+    root = data_root()
+    if root is None:
+        raise FileNotFoundError(
+            "RRTMGP_DATA is not set; point it at an rrtmgp-data v1.9 checkout"
+        )
+    example, fname = _REFERENCE_FLUX_FILES[(problemtype, band_set, flux)]
+    return os.path.join(root, "examples", example, "reference", fname)
+
+
 def have_data() -> bool:
     root = data_root()
     if not root:
