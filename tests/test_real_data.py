@@ -114,3 +114,97 @@ def test_clear_sky_sw_2stream_golden(clear_sky_setup):
     print(f"clear-sky SW 2-stream L-inf: up {err_up:.2e}, dn {err_dn:.2e} W/m^2")
     assert err_up <= TOL_SW
     assert err_dn <= TOL_SW
+
+
+# ---------------------------------------------------------------------------
+# Cloudy-sky and all-sky-with-aerosols golden fluxes
+# (ref test/cloudy_sky_utils.jl, test/all_sky_with_aerosols_utils.jl;
+#  tolerances test/runtests.jl:38-40,54-56 — f64)
+# ---------------------------------------------------------------------------
+
+TOL_ALLSKY_LW_NOSCAT = 1e-5
+TOL_ALLSKY_SW = 1e-5
+NCOL_ALLSKY = 128
+
+
+def _allsky_case(with_aerosols: bool, band_set: str):
+    import jax
+    import jax.numpy as jnp
+
+    from rrtmgp_tpu.data.allsky import load_allsky_atmosphere, load_reference_fluxes
+    from rrtmgp_tpu.data.loader import (
+        load_aerosol_lookup,
+        load_cloud_lookup,
+        load_gas_lookup,
+    )
+    from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+    from rrtmgp_tpu.states import LwBCs, SwBCs
+
+    problem = "gas_clouds_aerosols" if with_aerosols else "gas_clouds"
+    input_path = ap.get_reference_filename(problem, band_set)
+    lkp = load_gas_lookup(ap.get_lookup_filename("gas", band_set))
+    lkp_cld = load_cloud_lookup(ap.get_lookup_filename("cloud", band_set))
+    lkp_aero = (
+        load_aerosol_lookup(ap.get_lookup_filename("aerosol", band_set))
+        if with_aerosols else None
+    )
+    params = RRTMGP_PARAMS()
+    atm, _ = load_allsky_atmosphere(
+        input_path, lkp, lkp_cld, ncol=NCOL_ALLSKY, cldfrac=1.0,
+        with_aerosols=with_aerosols, params=params,
+    )
+    # cldfrac = 1 makes the McICA mask deterministic (ref runtests.jl:44-45)
+    mask = build_cloud_mask_mcica(
+        jax.random.key(0), atm.cloud_state.cld_frac, lkp.n_gpt
+    )
+    nbnd = lkp.n_bnd
+    if band_set == "lw":
+        bcs = LwBCs(sfc_emis=jnp.full((nbnd, NCOL_ALLSKY), 0.98))
+        flux, _ = jax.jit(
+            lambda a, b, m: solve_lw(
+                lkp, a, b, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m
+            )
+        )(atm, bcs, mask)
+    else:
+        bcs = SwBCs(
+            cos_zenith=jnp.full((NCOL_ALLSKY,), 0.86),
+            toa_flux=jnp.full((NCOL_ALLSKY,), float(lkp.solar_src_tot)),
+            sfc_alb_direct=jnp.full((nbnd, NCOL_ALLSKY), 0.06),
+            sfc_alb_diffuse=jnp.full((nbnd, NCOL_ALLSKY), 0.06),
+        )
+        flux, _ = jax.jit(
+            lambda a, b, m: solve_sw(
+                lkp, a, b, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m
+            )
+        )(atm, bcs, mask)
+    ref_up, ref_dn = load_reference_fluxes(input_path, band_set, NCOL_ALLSKY)
+    return flux, ref_up, ref_dn
+
+
+def RRTMGP_PARAMS():
+    from rrtmgp_tpu.parameters import RRTMGPParameters
+
+    return RRTMGPParameters(
+        grav=9.80665, molmass_dryair=0.028964, molmass_water=0.018016
+    )
+
+
+@pytest.mark.parametrize("with_aerosols", [False, True])
+def test_allsky_lw_noscat_golden(with_aerosols):
+    flux, ref_up, ref_dn = _allsky_case(with_aerosols, "lw")
+    err_up = float(np.max(np.abs(np.asarray(flux.flux_up) - ref_up)))
+    err_dn = float(np.max(np.abs(np.asarray(flux.flux_dn) - ref_dn)))
+    print(f"allsky(aero={with_aerosols}) LW L-inf: up {err_up:.2e}, dn {err_dn:.2e}")
+    assert err_up <= TOL_ALLSKY_LW_NOSCAT
+    assert err_dn <= TOL_ALLSKY_LW_NOSCAT
+
+
+@pytest.mark.parametrize("with_aerosols", [False, True])
+def test_allsky_sw_2stream_golden(with_aerosols):
+    flux, ref_up, ref_dn = _allsky_case(with_aerosols, "sw")
+    err_up = float(np.max(np.abs(np.asarray(flux.flux_up) - ref_up)))
+    err_dn = float(np.max(np.abs(np.asarray(flux.flux_dn) - ref_dn)))
+    print(f"allsky(aero={with_aerosols}) SW L-inf: up {err_up:.2e}, dn {err_dn:.2e}")
+    assert err_up <= TOL_ALLSKY_SW
+    assert err_dn <= TOL_ALLSKY_SW
