@@ -298,6 +298,27 @@ class RRTMGPSolver:
 
         wmode = self.pallas_windowed
 
+        # the megakernels need 128-aligned ncol; edge-replicate-pad ragged
+        # column counts inside the jitted solve (pad keeps the window
+        # invariant; outputs are sliced back), so API users get the
+        # single-kernel path at any ncol
+        ncol0 = int(self.as_.ncol)
+        on_tpu = jax.default_backend() == "tpu"
+
+        def _col_aligned(fn):
+            if not on_tpu or ncol0 % 128 == 0:
+                return fn
+
+            def wrapped(atm, bcs, *rest):
+                out = fn(
+                    _solvers.pad_columns(atm, ncol0),
+                    _solvers.pad_columns(bcs, ncol0),
+                    *rest,
+                )
+                return _solvers.slice_columns(out, ncol0)
+
+            return wrapped
+
         def lw_clear(atm, bcs):
             return _solvers.solve_lw(
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
@@ -312,8 +333,8 @@ class RRTMGPSolver:
                 pallas_windowed=wmode, aero_species=aspec,
             )
 
-        self._lw_clear = jax.jit(lw_clear, compiler_options=copts)
-        self._sw_clear = jax.jit(sw_clear, compiler_options=copts)
+        self._lw_clear = jax.jit(_col_aligned(lw_clear), compiler_options=copts)
+        self._sw_clear = jax.jit(_col_aligned(sw_clear), compiler_options=copts)
 
         if cloudy:
 
@@ -337,8 +358,8 @@ class RRTMGPSolver:
                     aero_species=aspec,
                 )
 
-            self._lw_cloudy = jax.jit(lw_cloudy, compiler_options=copts)
-            self._sw_cloudy = jax.jit(sw_cloudy, compiler_options=copts)
+            self._lw_cloudy = jax.jit(_col_aligned(lw_cloudy), compiler_options=copts)
+            self._sw_cloudy = jax.jit(_col_aligned(sw_cloudy), compiler_options=copts)
 
     def _mcica_key(self, wave: int):
         """Counter-based seed derived from the step number: the reset_rng_seed

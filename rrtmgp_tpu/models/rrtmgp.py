@@ -58,6 +58,38 @@ class SolveDiagnostics(NamedTuple):
     aod_sw_sca: jax.Array | None = None
 
 
+def pad_columns(pytree, ncol: int, multiple: int = 128):
+    """Edge-replicate-pad every leaf whose trailing axis is ``ncol`` up to the
+    next multiple of ``multiple``. Edge replication duplicates real columns,
+    so the p/t min/max (and hence the Pallas kernel window invariant) are
+    unchanged. No-op when already aligned."""
+    npad = -(-ncol // multiple) * multiple
+    if npad == ncol:
+        return pytree
+
+    def pad_leaf(x):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0 or x.shape[-1] != ncol:
+            return x
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, npad - ncol)]
+        return jnp.pad(x, widths, mode="edge")
+
+    return jax.tree_util.tree_map(pad_leaf, pytree)
+
+
+def slice_columns(pytree, ncol: int, multiple: int = 128):
+    """Undo ``pad_columns`` on outputs: slice trailing padded axes to ncol."""
+    npad = -(-ncol // multiple) * multiple
+    if npad == ncol:
+        return pytree
+
+    def slice_leaf(x):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0 or x.shape[-1] != npad:
+            return x
+        return x[..., :ncol]
+
+    return jax.tree_util.tree_map(slice_leaf, pytree)
+
+
 def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *,
                   cld_mask=None, cld_mask_seed=None):
     """Run a solve over column chunks sequentially (lax.map) to bound memory.
