@@ -372,24 +372,37 @@ def solve_lw(
             )
         return flux, diag
 
-    if (
-        mega_ok and not two_stream and lkp_cld is None and lkp_aero is None
-    ):
+    if mega_ok and not two_stream and (lkp_cld is None) == (not has_cld_input):
         from ..ops.gas_optics_pallas import mega_lw_inputs
+        from ..ops.pallas_interp import rows_per_slab
         from ..ops.pallas_mega import lw_clear_mega
 
-        mega_block = 256 if as_.ncol % 256 == 0 else 128
+        composed = lkp_cld is not None or lkp_aero is not None
+        mega_block = 256 if as_.ncol % 256 == 0 and not composed else 128
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
          scal_offs) = mega_lw_inputs(lkp, pallas_tables, as_, window, mega_block)
-        from ..ops.pallas_interp import rows_per_slab
+        cld_b3 = None
+        gen = lkp_cld is not None and cld_mask is None
+        if lkp_cld is not None:
+            from ..ops.cloud_optics import cloud_optics_bands
 
-        flux_up, flux_dn = lw_clear_mega(
+            tau_b, ssa_b, g_b = cloud_optics_bands(lkp_cld, as_.cloud_state)
+            cld_b3 = tuple(jnp.swapaxes(x, 1, 2) for x in (tau_b, ssa_b))
+        aero_b3 = aero_act = None
+        if lkp_aero is not None:
+            aero_b3, aero_act, _, _ = _aerosol_bands_masked(
+                lkp_aero, as_, delta_scaling=False, collect_aod=False,
+                active_species=aero_species,
+            )
+        out = lw_clear_mega(
             q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc,
             bcs.sfc_emis.astype(jnp.float32),
             pallas_tables.fused_ilv,
             pallas_tables.minor_stack, pallas_tables.minor_proj,
-            bcs.inc_flux,
+            bcs.inc_flux, cld_b3, cld_mask, aero_b3, aero_act,
+            as_.cloud_state.cld_frac if gen else None,
+            cld_mask_seed if gen else None,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -397,9 +410,19 @@ def solve_lw(
             slab=rows_per_slab(lkp.n_temp),
             ds=float(Ds[0]), w_mu=float(wts[0]), block_cols=mega_block,
         )
+        flux_up, flux_dn = out[0], out[1]
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
         flux = _apply_metric_scaling(flux, metric_scaling)
-        return flux, SolveDiagnostics()
+        diag = SolveDiagnostics()
+        if gen:
+            diag = diag._replace(cld_cover=out[2].astype(dtype))
+        elif cld_mask is not None:
+            from ..ops.cloud_optics import cloud_cover_from_mask
+
+            diag = diag._replace(
+                cld_cover=cloud_cover_from_mask(cld_mask).astype(dtype)
+            )
+        return flux, diag
 
     if cld_mask is None and cld_mask_seed is not None and lkp_cld is not None:
         from ..ops.cloud_optics import build_cloud_mask_mcica

@@ -296,26 +296,40 @@ def _optics_phase(
 
 def _lw_mega_kernel(
     qb_ref,
-    pack_ref,                              # (nlay, npk, B)
-    loc1_ref, cm1_ref, loc2_ref, cm2_ref,  # (nlay, nbnd, B)
-    plkl_ref,                              # (nlay, nbp, B) band Planck at t_lay
-    plke_ref,                              # (nlev, nbp, B) band Planck at t_lev
-    plks_ref,                              # (nbp, B) band Planck at t_sfc
-    emis_ref,                              # (nbp, B) per-band emissivity
-    inc_ref,                               # (B, G) TOA incident flux per gpt
-    kilv_hbm,                              # ANY (3*rows, W) bf16 interleaved
-    m2_ref,                                # (2*nbnd, G)
-    m5_ref,                                # (5*nbnd, 2*G) merged expand matrix
-    *rest,
+    *args,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
-    slab, ds, w_mu,
+    slab, ds, w_mu, has_cloud, has_aero, gen_mask, n_gpt,
 ):
-    n_groups = len(minor_groups)
     idx = 0
-    mk_stack = rest[idx : idx + n_groups]; idx += n_groups
-    mk_proj = rest[idx : idx + n_groups]; idx += n_groups
-    up_ref, dn_ref = rest[idx : idx + 2]; idx += 2
-    kilv_tab, trans_s, sdn_s, sup_s, sfc_s, up_acc, dn_acc, sem = rest[idx : idx + 8]
+    if gen_mask:
+        seed_ref = args[idx]; idx += 1             # scalar prefetch (1,) int32
+    pack_ref = args[idx]; idx += 1                 # (nlay, npk, B)
+    loc1_ref, cm1_ref, loc2_ref, cm2_ref = args[idx : idx + 4]; idx += 4
+    plkl_ref = args[idx]; idx += 1                 # (nlay, nbp, B)
+    plke_ref = args[idx]; idx += 1                 # (nlev, nbp, B)
+    plks_ref, emis_ref = args[idx : idx + 2]; idx += 2  # (nbp, B)
+    inc_ref = args[idx]; idx += 1                  # (B, G)
+    if has_cloud:
+        # absorption-only add (ref cloud_optics.jl:44): only tau_b/ssa_b
+        ctau_ref, cssa_ref = args[idx : idx + 2]; idx += 2
+        if gen_mask:
+            cf_ref = args[idx]; idx += 1           # (nlay, 8, B) f32
+        else:
+            mask_ref = args[idx]; idx += 1         # (nlay, B, G) i8
+    if has_aero:
+        atau_ref, assa_ref = args[idx : idx + 2]; idx += 2
+        amask_ref = args[idx]; idx += 1            # (nlay, 8, B) f32 (row 0)
+    kilv_hbm = args[idx]; idx += 1                 # ANY (3*rows, W) bf16
+    m2_ref = args[idx]; idx += 1                   # (2*nbnd, G)
+    m5_ref = args[idx]; idx += 1                   # (5*nbnd, 2*G)
+    n_groups = len(minor_groups)
+    mk_stack = args[idx : idx + n_groups]; idx += n_groups
+    mk_proj = args[idx : idx + n_groups]; idx += n_groups
+    up_ref, dn_ref = args[idx : idx + 2]; idx += 2
+    if gen_mask:
+        cover_ref = args[idx]; idx += 1            # (B, 8)
+        mask_s = args[idx]; idx += 1               # scratch (nlay, B, G) f32
+    kilv_tab, trans_s, sdn_s, sup_s, sfc_s, up_acc, dn_acc, sem = args[idx : idx + 8]
 
     @pl.when(pl.program_id(0) == 0)
     def _load_table():
@@ -337,6 +351,47 @@ def _lw_mega_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    b_cols = up_acc.shape[1]
+
+    # mask pre-pass: the McICA max-random-overlap recurrence runs TOP-DOWN
+    # while the optics loop ascends, so the per-layer mask is sampled into
+    # VMEM scratch first (TPU PRNG, counter-based seed x block; identical to
+    # the lw2/sw megakernels and ref cloud_optics.jl:222-261)
+    if gen_mask:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        zc = jnp.zeros((b_cols, npad), jnp.float32)
+        z1 = jnp.zeros((b_cols, 1), jnp.float32)
+
+        def mask_step(i, carry):
+            l = nlay - 1 - i
+            u_above, m_above, cf_above, started, anyc = carry
+            bits = pltpu.prng_random_bits((b_cols, npad))
+            # logical shift: the raw bits are signed int32
+            u_i = jax.lax.shift_right_logical(bits, 8).astype(
+                jnp.float32
+            ) * (1.0 / (1 << 24))
+            cf_i = cf_ref[l][0:1].T
+            u_eff = jnp.where(
+                started > 0.0,
+                jnp.where(m_above > 0.0, u_above, u_i * (1.0 - cf_above)),
+                u_i,
+            )
+            cloudy = cf_i > 0.0
+            m_f = jnp.logical_and(cloudy, u_eff >= (1.0 - cf_i)).astype(jnp.float32)
+            mask_s[l] = m_f
+            return (
+                u_eff, m_f, cf_i,
+                jnp.maximum(started, cloudy.astype(jnp.float32)),
+                jnp.maximum(anyc, m_f),
+            )
+
+        carry_out = jax.lax.fori_loop(0, nlay, mask_step, (zc, zc, z1, z1, zc))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_cols, npad), 1)
+        cover = jnp.sum(
+            jnp.where(lane < n_gpt, carry_out[4], 0.0), axis=-1, keepdims=True
+        ) * (1.0 / n_gpt)
+        cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
+
     # phase 1: per-layer gas optics -> transmittance + the Clough linear-in-
     # tau sources for BOTH sweep directions, finished in VMEM scratch. The
     # previous layer's (pfrac, trans, fact, lay_val) ride the fori carry so
@@ -356,6 +411,19 @@ def _lw_mega_kernel(
             minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
             with_rayleigh=False, ray_rows=0, slab=slab,
         )
+        # no-scat composition is absorption-only: tau += tau_x * (1 - ssa_x)
+        # under the McICA/active mask (ref cloud_optics.jl:1-49,
+        # aerosol_optics.jl 1-scalar add)
+        if has_cloud:
+            tc = expand(ctau_ref[l].T)
+            sc = expand(cssa_ref[l].T)
+            m = mask_s[l] > 0.0 if gen_mask else mask_ref[l] != 0
+            tau = jnp.where(m, tau + tc * (1.0 - sc), tau)
+        if has_aero:
+            ta = expand(atau_ref[l].T)
+            sa = expand(assa_ref[l].T)
+            ma = amask_ref[l][0:1].T > 0.0  # (B, 1)
+            tau = jnp.where(ma, tau + ta * (1.0 - sa), tau)
         tau_loc = tau * ds
         trans = jnp.exp(-tau_loc)
         tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
@@ -381,8 +449,7 @@ def _lw_mega_kernel(
 
         return pf, trans, fact, lay_val
 
-    b = up_acc.shape[1]
-    zero = jnp.zeros((b, npad), jnp.float32)
+    zero = jnp.zeros((b_cols, npad), jnp.float32)
     pf_top, trans_top, fact_top, lay_top = jax.lax.fori_loop(
         0, nlay, optics_step, (zero, zero, zero, zero)
     )
@@ -435,6 +502,12 @@ def lw_clear_mega(
     minor_stack: tuple,
     minor_proj: tuple,
     inc_flux: jax.Array | None,
+    cld_bands: tuple | None = None,   # (tau_b, ssa_b[, g_b]) each (nlay, nbnd, ncol)
+    cld_mask: jax.Array | None = None,  # (nlay, ncol, ngpt) bool McICA mask
+    aero_bands: tuple | None = None,  # (tau_b, ssa_b[, g_b]) each (nlay, nbnd, ncol)
+    aero_mask: jax.Array | None = None,  # (nlay, ncol) active mask
+    cld_frac: jax.Array | None = None,   # (nlay, ncol): in-kernel McICA
+    cld_seed: jax.Array | None = None,   # () int32 counter seed
     *,
     nlay: int,
     window: int,
@@ -450,8 +523,13 @@ def lw_clear_mega(
     w_mu: float,
     block_cols: int = 128,
 ):
-    """Whole clear-sky LW no-scat solve in one kernel; returns
-    (flux_up, flux_dn), each (nlev, ncol) f32, spectrally reduced."""
+    """Whole LW no-scat solve (clear / McICA-cloudy / aerosol) in one kernel;
+    returns (flux_up, flux_dn), each (nlev, ncol) f32, spectrally reduced
+    (+ McICA cloud cover (ncol,) when cld_frac is given)."""
+    has_cloud = cld_bands is not None
+    has_aero = aero_bands is not None
+    gen_mask = cld_frac is not None
+    assert not (gen_mask and cld_mask is not None)
     ncol = pack.shape[-1]
     nlev = nlay + 1
     gp = gpt_pad(n_gpt)
@@ -484,6 +562,26 @@ def lw_clear_mega(
     plk_lay = pad_band(plk_lay, 1)
     plk_lev = pad_band(plk_lev, 1)
     plk_sfc = pad_band(plk_sfc, 0)
+    if has_cloud:
+        cld_bands = tuple(
+            pad_band(x.astype(jnp.float32), 1) for x in cld_bands[:2]
+        )
+        if gen_mask:
+            cf8 = jnp.broadcast_to(
+                cld_frac.astype(jnp.float32)[:, None, :], (nlay, 8, ncol)
+            )
+        else:
+            mask_i8 = jnp.pad(
+                cld_mask.astype(jnp.int8),
+                ((0, 0), (0, 0), (0, gp - cld_mask.shape[-1])),
+            )
+    if has_aero:
+        aero_bands = tuple(
+            pad_band(x.astype(jnp.float32), 1) for x in aero_bands[:2]
+        )
+        amask8 = jnp.broadcast_to(
+            aero_mask.astype(jnp.float32)[:, None, :], (nlay, 8, ncol)
+        )
     nbp = mb
 
     inc = (
@@ -505,15 +603,27 @@ def lw_clear_mega(
     red_spec = pl.BlockSpec((block_cols, nlev), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda c, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
+    mask_spec = pl.BlockSpec(
+        (nlay, block_cols, gp), lambda c, *_: (0, c, 0), memory_space=pltpu.VMEM
+    )
     npk = pack.shape[1]
     kernel = functools.partial(
         _lw_mega_kernel,
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
         minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
         slab=slab, ds=ds, w_mu=w_mu,
+        has_cloud=has_cloud, has_aero=has_aero, gen_mask=gen_mask, n_gpt=n_gpt,
     )
+    if has_cloud:
+        cloud_specs = [lay3(mb)] * 2 + ([lay3(8)] if gen_mask else [mask_spec])
+        cloud_ops = [*cld_bands, cf8 if gen_mask else mask_i8]
+    else:
+        cloud_specs, cloud_ops = [], []
+    if has_aero:
+        cloud_specs += [lay3(mb)] * 2 + [lay3(8)]
+        cloud_ops += [*aero_bands, amask8]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if gen_mask else 1,
         grid=(nblk,),
         in_specs=[
             lay3(npk),
@@ -521,13 +631,17 @@ def lw_clear_mega(
             lay3(eta_ops[2].shape[1]), lay3(eta_ops[3].shape[1]),
             lay3(nbp), lev3(nbp), band2(nbp), band2(sfc_emis.shape[0]),
             col_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-            full(m2), full(m5),
         ]
+        + cloud_specs
+        + [pl.BlockSpec(memory_space=pl.ANY), full(m2), full(m5)]
         + [full(k) for k in minor_stack]
         + [full(p) for p in minor_proj],
-        out_specs=(red_spec, red_spec),
-        scratch_shapes=[
+        out_specs=(red_spec, red_spec) + (
+            (pl.BlockSpec((block_cols, 8), lambda c, *_: (c, 0), memory_space=pltpu.VMEM),)
+            if gen_mask else ()
+        ),
+        scratch_shapes=([pltpu.VMEM((nlay, block_cols, gp), jnp.float32)] if gen_mask else [])
+        + [
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # trans
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src down
@@ -538,18 +652,27 @@ def lw_clear_mega(
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(2)
+    ) + (
+        (jax.ShapeDtypeStruct((ncol, 8), jnp.float32),) if gen_mask else ()
+    )
+    scalars = (q_base,) + (
+        (jnp.asarray(cld_seed, jnp.int32).reshape(1),) if gen_mask else ()
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((ncol, nlev), jnp.float32) for _ in range(2)
-        ),
+        out_shape=out_shape,
         interpret=_interpret(),
     )(
-        q_base, pack, *eta_ops, plk_lay, plk_lev, plk_sfc, sfc_emis, inc,
-        kilv, m2, m5, *minor_stack, *minor_proj,
+        *scalars, pack, *eta_ops, plk_lay, plk_lev, plk_sfc, sfc_emis, inc,
+        *cloud_ops, kilv, m2, m5, *minor_stack, *minor_proj,
     )
-    return tuple(o.T for o in out)
+    fluxes = tuple(o.T for o in out[:2])
+    if gen_mask:
+        return fluxes + (out[2][:, 0],)
+    return fluxes
 
 
 # ---------------------------------------------------------------------------

@@ -260,6 +260,53 @@ def test_sw_cloudy_megakernel_matches_xla():
         assert np.abs(a - b).max() / scale < 1e-4, (name, np.abs(a - b).max() / scale)
 
 
+def test_lw_noscat_cloudy_aerosol_megakernel_matches_xla():
+    """LW no-scat megakernel with McICA cloud AND aerosol absorption-only
+    composition (ref cloud_optics.jl:1-49, aerosol_optics.jl 1-scalar add)
+    vs the XLA path."""
+    import jax
+
+    from rrtmgp_tpu.data.synthetic import (
+        synthetic_aerosol_lookup,
+        synthetic_cloud_lookup,
+    )
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_min_window
+    from rrtmgp_tpu.states import LwBCs
+
+    ncol = 128
+    lkp = synthetic_gas_lookup(longwave=True, n_gpt=32, n_bnd=4, seed=2, dtype=np.float32)
+    atm = synthetic_atmosphere(
+        ncol=ncol, nlay=NLAY, dtype=np.float32, with_clouds=True, with_aerosols=True
+    )
+    lkp_cld = synthetic_cloud_lookup(n_bnd=4, dtype=np.float32)
+    lkp_aero = synthetic_aerosol_lookup(n_bnd=4, dtype=np.float32)
+    mask = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, lkp.n_gpt)
+    bcs = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol), 0.98, jnp.float32))
+    win = compute_min_window(lkp, atm, mega=True)
+    tabs = gp.build_pallas_tables(lkp)
+    for kw in (
+        dict(lkp_cld=lkp_cld, cld_mask=mask),
+        dict(lkp_cld=lkp_cld, cld_mask=mask, lkp_aero=lkp_aero),
+    ):
+        ref, dref = solve_lw(lkp, atm, bcs, pallas_rte=False, **kw)
+        out, dout = solve_lw(
+            lkp, atm, bcs, pallas_tables=tabs, pallas_rte=True,
+            pallas_windowed="force", pallas_window=win, **kw,
+        )
+        for name in ("flux_up", "flux_dn", "flux_net"):
+            a = np.asarray(getattr(ref, name))
+            b = np.asarray(getattr(out, name))
+            scale = np.abs(a).max() + 1e-30
+            assert np.abs(a - b).max() / scale < 1e-4, (
+                sorted(kw), name, np.abs(a - b).max() / scale,
+            )
+        np.testing.assert_allclose(
+            np.asarray(dref.cld_cover), np.asarray(dout.cld_cover), rtol=1e-6
+        )
+
+
 def test_allsky_aerosol_megakernels_match_xla():
     """LW two-stream + SW megakernels with cloud AND aerosol composition."""
     import jax
