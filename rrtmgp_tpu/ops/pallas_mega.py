@@ -16,8 +16,8 @@ single pallas_call per solve. Compared to the two-kernel path
   (nbnd, nlay, ncol) band emission values computed by planck_band_pallas_t,
   16 lanes instead of the previous 128-lane padded layout).
 
-Applicability: CLEAR-SKY only (cloud/aerosol optics modify tau between
-optics and sweep and keep the two-kernel path), f32, caller-verified window
+Applicability: clear / McICA-cloudy / aerosol sky (band-level cloud and
+aerosol properties composed in-kernel per layer), f32, caller-verified window
 invariant (windowed="force" semantics — see gas_optics_pallas.compute_min_window).
 
 Reference parity: the optics phase mirrors compute_gas_optics
