@@ -72,6 +72,29 @@ def main():
     assert diff > 0.005, diff
     print(f"fractional-cf: mean cover {cover[cloudy].mean():.5f} (expect 0.4), "
           f"seed decorrelation {diff:.4f}")
+
+    # (4) LW no-scat megakernel: same deterministic-cf exactness for its
+    # in-kernel sampler (cloud composition added to lw_clear_mega)
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+    from rrtmgp_tpu.states import LwBCs
+
+    lkp_lw = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=np.float32)
+    lkp_cld_lw = synthetic_cloud_lookup(n_bnd=16, dtype=np.float32)
+    tabs_lw = build_pallas_tables(lkp_lw)
+    win_lw = compute_min_window(lkp_lw, atm, mega=True)
+    bcs_lw = LwBCs(sfc_emis=jnp.full((16, ncol), 0.98, jnp.float32))
+    com_lw = dict(lkp_cld=lkp_cld_lw, pallas_tables=tabs_lw,
+                  pallas_windowed="force", pallas_window=win_lw)
+    g_ext = jax.jit(lambda a, b, m: solve_lw(lkp_lw, a, b, cld_mask=m, **com_lw),
+                    compiler_options=copts)
+    g_gen = jax.jit(lambda a, b, s: solve_lw(lkp_lw, a, b, cld_mask_seed=s, **com_lw),
+                    compiler_options=copts)
+    mask_lw = build_cloud_mask_mcica(jax.random.key(0), atm.cloud_state.cld_frac, 256)
+    l1, _ = g_ext(atm, bcs_lw, mask_lw)
+    l2, _ = g_gen(atm, bcs_lw, jnp.asarray(5, jnp.int32))
+    err = float(jnp.max(jnp.abs(l1.flux_dn - l2.flux_dn)))
+    assert err == 0.0, err
+    print("LW no-scat deterministic-cf equivalence: exact")
     print("OK")
 
 
