@@ -33,6 +33,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from rrtmgp_tpu.utils.compile import enable_compile_cache
+
+    enable_compile_cache()
+
     from rrtmgp_tpu.data.synthetic import synthetic_atmosphere, synthetic_gas_lookup
     from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
     from rrtmgp_tpu.states import LwBCs, SwBCs

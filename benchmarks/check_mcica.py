@@ -17,6 +17,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    from rrtmgp_tpu.utils.compile import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -34,9 +34,14 @@ def pick_chunk(ncol: int, target: int) -> int:
     return -(-(-(-ncol // n_chunks)) // 256) * 256
 
 
-def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
+def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10,
+        lw_two_stream: bool = True):
     import jax
     import jax.numpy as jnp
+
+    from rrtmgp_tpu.utils.compile import enable_compile_cache
+
+    enable_compile_cache()
 
     from rrtmgp_tpu.data.synthetic import (
         synthetic_aerosol_lookup,
@@ -133,7 +138,8 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10):
         def f_lw(a, b, seed):
             return solve_chunked(
                 lambda ac, bc, sc: solve_lw(
-                    lkp_lw, ac, bc, two_stream=True, lkp_cld=lkp_cld_lw,
+                    lkp_lw, ac, bc, two_stream=lw_two_stream,
+                    lkp_cld=lkp_cld_lw,
                     lkp_aero=lkp_aero_lw, cld_mask_seed=sc,
                     aero_species=aero_species,
                     **pk_lw,
@@ -179,9 +185,14 @@ if __name__ == "__main__":
     ap.add_argument("--ncol", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--lw-noscat", action="store_true",
+        help="all-sky LW with the no-scat solver (ref cloudy tests run both "
+        "LW solvers; exercises in-kernel composition in lw_clear_mega)",
+    )
     a = ap.parse_args()
     ncol = a.ncol or (CLEAR_NCOL if a.mode == "clear" else ALLSKY_NCOL)
     # megakernels keep per-chunk HBM footprints small; larger chunks amortize
     # the lax.map step overheads (+4-5% at 2x)
     chunk = a.chunk or pick_chunk(ncol, 16384)
-    run(a.mode, ncol, chunk, n_iters=a.iters)
+    run(a.mode, ncol, chunk, n_iters=a.iters, lw_two_stream=not a.lw_noscat)

@@ -25,6 +25,10 @@ def timeit(fn, *args, n=10):
 
 
 def main():
+    from rrtmgp_tpu.utils.compile import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -19,6 +19,10 @@ NLAY = 60
 
 
 def main():
+    from rrtmgp_tpu.utils.compile import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

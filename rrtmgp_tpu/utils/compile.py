@@ -13,6 +13,18 @@ from __future__ import annotations
 SCOPED_VMEM_KIB = 98304  # 96 MiB of the 128 MiB v5e VMEM
 
 
+def enable_compile_cache(path: str = "/tmp/jax_compile_cache") -> None:
+    """Point JAX's persistent compilation cache at `path` (idempotent).
+
+    The benchmark/driver scripts call this so repeat runs skip the 1-5 min
+    first-compile of the big fused programs (tests/conftest.py does the same
+    for the test suite)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def tpu_compiler_options() -> dict | None:
     """compiler_options for jax.jit wrapping a TPU radiation solve.
 
