@@ -110,6 +110,9 @@ def main() -> None:
                 "value": round(cols_per_s, 1),
                 "unit": "columns/s",
                 "vs_baseline": round(cols_per_s / REFERENCE_COLS_PER_S, 3),
+                # the reference publishes no absolute numbers (BASELINE.md);
+                # the denominator is an ASSUMED 1e5 cols/s/chip A100 figure
+                "baseline_note": "assumed 1e5 cols/s A100 (reference publishes none)",
             }
         )
     )

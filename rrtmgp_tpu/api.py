@@ -536,14 +536,23 @@ class RRTMGPSolver:
     def surface_temperature(self):
         return self.as_.t_sfc
 
+    def domain_view(self, data):
+        """View of ``data`` restricted to the physical domain: drops the
+        isothermal boundary layer (the TOP layer; vertical axis leading,
+        level 0 = surface) when the grid declares one
+        (ref api_methods.jl:17-42)."""
+        if data is None:
+            return None
+        return domain_view(self.grid_params.isothermal_boundary_layer, data)
+
     def pressure(self):
-        return self.as_.p_lay
+        return self.domain_view(self.as_.p_lay)
 
     def temperature(self):
-        return self.as_.t_lay
+        return self.domain_view(self.as_.t_lay)
 
     def relative_humidity(self):
-        return getattr(self.as_, "rel_hum", None)
+        return self.domain_view(getattr(self.as_, "rel_hum", None))
 
     def optical_thickness_parameter(self):
         return getattr(self.as_, "otp", None)

@@ -145,6 +145,36 @@ def test_name_lists_and_views():
     assert rt.domain_view(False, x).shape == (11, 4)
 
 
+def test_solver_domain_view_getters():
+    """With isothermal_boundary_layer set, the layer-quantity getters drop the
+    extra TOP layer (ref api_methods.jl:17-42; vertical axis leading here)."""
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, with_clouds=True, with_aerosols=True)
+    bcs_lw = rt.LwBCs(sfc_emis=jnp.full((NBND_LW, NCOL), 0.98))
+    bcs_sw = rt.SwBCs(
+        cos_zenith=jnp.full((NCOL,), 0.6),
+        toa_flux=jnp.full((NCOL,), 1361.0),
+        sfc_alb_direct=jnp.full((NBND_SW, NCOL), 0.2),
+        sfc_alb_diffuse=jnp.full((NBND_SW, NCOL), 0.2),
+    )
+    gp = rt.RRTMGPGridParams(
+        nlay=NLAY, ncol=NCOL, dtype=jnp.float64, isothermal_boundary_layer=True
+    )
+    s = rt.RRTMGPSolver(gp, rt.ClearSkyRadiation(False), PARAMS, bcs_lw, bcs_sw, atm,
+                        lookups=LOOKUPS)
+    assert s.isothermal_boundary_layer() is True
+    assert s.pressure().shape == (NLAY - 1, NCOL)
+    assert s.temperature().shape == (NLAY - 1, NCOL)
+    assert s.relative_humidity().shape == (NLAY - 1, NCOL)
+    # the retained layers are the bottom ones (level/layer 0 = surface)
+    np.testing.assert_array_equal(np.asarray(s.pressure()), np.asarray(atm.p_lay[:-1]))
+    assert s.domain_view(None) is None
+    # flag off: getters return the full layer range
+    gp0 = rt.RRTMGPGridParams(nlay=NLAY, ncol=NCOL, dtype=jnp.float64)
+    s0 = rt.RRTMGPSolver(gp0, rt.ClearSkyRadiation(False), PARAMS, bcs_lw, bcs_sw, atm,
+                         lookups=LOOKUPS)
+    assert s0.temperature().shape == (NLAY, NCOL)
+
+
 def test_volume_mixing_ratio_and_aero_getters():
     s = _solver(rt.ClearSkyRadiation(True))
     h2o = s.volume_mixing_ratio("h2o")

@@ -59,8 +59,9 @@ def test_gray_lw_equilibrium(dtype, two_stream):
     assert np.isfinite(t_error)
     # Reference gates 0.1 K at f64 only (/root/reference/test/gray_atm_utils.jl:47;
     # test/gray_atm.jl runs FT=Float64 in CI). f32 cannot converge the 1e-5 W/m^2
-    # flux gradient (below f32 flux resolution), so gets a looser smoke bound.
-    tol = 0.1 if dtype == jnp.float64 else 0.5
+    # flux gradient (below f32 flux resolution) so it runs with a 1e-4 gradient
+    # tolerance; measured converged error is 0.060 K — gate at 2.5x margin.
+    tol = 0.1 if dtype == jnp.float64 else 0.15
     assert t_error < tol, f"t_error={t_error}, steps={int(steps)}, err={float(err)}"
 
 
@@ -127,6 +128,9 @@ def test_lw_noscat_vs_2stream_consistency():
     sfc_emis = jnp.ones((9,), jnp.float64)
     up1, dn1, _ = solve_gray_lw(as_, sfc_emis, PARAMS, two_stream=False)
     up2, dn2, _ = solve_gray_lw(as_, sfc_emis, PARAMS, two_stream=True)
-    # Different angular approximations (D=1.64 vs 1.66): a few W/m^2 agreement
-    assert float(jnp.max(jnp.abs(up1 - up2))) < 10.0
-    assert float(jnp.max(jnp.abs(dn1 - dn2))) < 10.0
+    # Consistency check, not an exactness oracle: the two solvers use
+    # different angular closures (Gauss-Jacobi secant D=1.66 vs the
+    # two-stream diffusivity), so they agree only to O(tau^2) differences.
+    # Measured gap on this profile: up 0.62 / dn 0.77 W/m^2; gate at ~2x.
+    assert float(jnp.max(jnp.abs(up1 - up2))) < 1.5
+    assert float(jnp.max(jnp.abs(dn1 - dn2))) < 1.5
