@@ -137,10 +137,10 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10,
         @partial(jax.jit, compiler_options=copts)
         def f_lw(a, b, seed):
             return solve_chunked(
-                lambda ac, bc, sc: solve_lw(
+                lambda ac, bc, sc, off: solve_lw(
                     lkp_lw, ac, bc, two_stream=lw_two_stream,
                     lkp_cld=lkp_cld_lw,
-                    lkp_aero=lkp_aero_lw, cld_mask_seed=sc,
+                    lkp_aero=lkp_aero_lw, cld_mask_seed=sc, col_offset=off,
                     aero_species=aero_species,
                     **pk_lw,
                 )[0],
@@ -150,9 +150,9 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10,
         @partial(jax.jit, compiler_options=copts)
         def f_sw(a, b, seed):
             return solve_chunked(
-                lambda ac, bc, sc: solve_sw(
+                lambda ac, bc, sc, off: solve_sw(
                     lkp_sw, ac, bc, lkp_cld=lkp_cld_sw, lkp_aero=lkp_aero_sw,
-                    cld_mask_seed=sc, aero_species=aero_species,
+                    cld_mask_seed=sc, col_offset=off, aero_species=aero_species,
                     **pk_sw,
                 )[0],
                 a, b, chunk, cld_mask_seed=seed,

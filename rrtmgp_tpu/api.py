@@ -212,6 +212,8 @@ class RRTMGPSolver:
         data_dir: str | None = None,
         pallas_windowed: str = "force",
         aero_species: tuple | None = None,
+        mesh=None,
+        use_pallas: bool | None = None,
     ):
         self.grid_params = grid_params
         self.radiation_method = radiation_method
@@ -223,6 +225,17 @@ class RRTMGPSolver:
         self.face_z = face_z
         self.two_stream_lw = two_stream_lw
         self.two_stream_sw = two_stream_sw
+        # Multi-chip: a 1-D jax.sharding.Mesh over the column axis
+        # (parallel.sharding.make_column_mesh). The solves are shard_mapped —
+        # each device runs the SAME kernels (incl. the Pallas megakernels) on
+        # its local columns, tables replicated, zero collectives; McICA
+        # streams are keyed on GLOBAL column/block indices so results are
+        # bitwise mesh-layout-invariant. ncol must divide by the mesh size
+        # (and, for the megakernel path, by 128 per shard).
+        self.mesh = mesh
+        # None: Pallas kernel path iff running on TPU. True forces the Pallas
+        # path off-TPU (interpret mode — slow; for tests/dryruns only).
+        self.use_pallas = use_pallas
         # "force" (default) trusts the init-computed table window (+1 bucket
         # of margin, see _build_solvers) and enables the single-kernel solves
         # (ops/pallas_mega.py); "auto" adds a runtime invariant check with a
@@ -274,7 +287,9 @@ class RRTMGPSolver:
 
         tabs_lw = tabs_sw = None
         win_lw = win_sw = 96
-        if jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = self.use_pallas if self.use_pallas is not None else on_tpu
+        if use_pallas:
             from .ops.gas_optics_pallas import build_pallas_tables, compute_min_window
 
             tabs_lw = build_pallas_tables(lk.lookup_lw)
@@ -301,12 +316,16 @@ class RRTMGPSolver:
         # the megakernels need 128-aligned ncol; edge-replicate-pad ragged
         # column counts inside the jitted solve (pad keeps the window
         # invariant; outputs are sliced back), so API users get the
-        # single-kernel path at any ncol
+        # single-kernel path at any ncol. Not applied in mesh mode (sharded
+        # ncol must already satisfy per-shard alignment).
         ncol0 = int(self.as_.ncol)
-        on_tpu = jax.default_backend() == "tpu"
+        mesh = self.mesh
+        #: global column ids, sharded alongside the state in mesh mode; the
+        #: cloudy solves read col_ids[0] = the shard's global column offset
+        self._col_ids = jnp.arange(ncol0, dtype=jnp.int32)
 
         def _col_aligned(fn):
-            if not on_tpu or ncol0 % 128 == 0:
+            if mesh is not None or not use_pallas or ncol0 % 128 == 0:
                 return fn
 
             def wrapped(atm, bcs, *rest):
@@ -318,6 +337,14 @@ class RRTMGPSolver:
                 return _solvers.slice_columns(out, ncol0)
 
             return wrapped
+
+        def _spmd(fn):
+            """jit; in mesh mode, shard_map over the column mesh first."""
+            if mesh is not None:
+                from .parallel.sharding import shard_solve
+
+                fn = shard_solve(fn, mesh, ncol0)
+            return jax.jit(_col_aligned(fn), compiler_options=copts)
 
         def lw_clear(atm, bcs):
             return _solvers.solve_lw(
@@ -333,33 +360,33 @@ class RRTMGPSolver:
                 pallas_windowed=wmode, aero_species=aspec,
             )
 
-        self._lw_clear = jax.jit(_col_aligned(lw_clear), compiler_options=copts)
-        self._sw_clear = jax.jit(_col_aligned(sw_clear), compiler_options=copts)
+        self._lw_clear = _spmd(lw_clear)
+        self._sw_clear = _spmd(sw_clear)
 
         if cloudy:
 
-            def lw_cloudy(atm, bcs, seed):
+            def lw_cloudy(atm, bcs, seed, col_ids):
                 return _solvers.solve_lw(
                     lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw,
                     lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero,
-                    cld_mask_seed=seed,
+                    cld_mask_seed=seed, col_offset=col_ids[0],
                     pallas_tables=tabs_lw, pallas_window=win_lw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
                     aero_species=aspec,
                 )
 
-            def sw_cloudy(atm, bcs, seed):
+            def sw_cloudy(atm, bcs, seed, col_ids):
                 return _solvers.solve_sw(
                     lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw,
                     lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero,
-                    cld_mask_seed=seed,
+                    cld_mask_seed=seed, col_offset=col_ids[0],
                     pallas_tables=tabs_sw, pallas_window=win_sw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
                     aero_species=aspec,
                 )
 
-            self._lw_cloudy = jax.jit(_col_aligned(lw_cloudy), compiler_options=copts)
-            self._sw_cloudy = jax.jit(_col_aligned(sw_cloudy), compiler_options=copts)
+            self._lw_cloudy = _spmd(lw_cloudy)
+            self._sw_cloudy = _spmd(sw_cloudy)
 
     def _mcica_key(self, wave: int):
         """Counter-based seed derived from the step number: the reset_rng_seed
@@ -382,7 +409,7 @@ class RRTMGPSolver:
         True off-TPU or for gray radiation."""
         if isinstance(self.radiation_method, GrayRadiation):
             return True
-        if jax.default_backend() != "tpu":
+        if self._pallas_lw is None:  # Pallas kernel path not in use
             return True
         from .ops.gas_optics_pallas import compute_min_window
 
@@ -405,12 +432,12 @@ class RRTMGPSolver:
             self.flux_lw, self.diag_lw = self._lw_clear(self.as_, self.bcs_lw)
         elif isinstance(m, AllSkyRadiation):
             self.flux_lw, self.diag_lw = self._lw_cloudy(
-                self.as_, self.bcs_lw, self._mcica_key(0)
+                self.as_, self.bcs_lw, self._mcica_key(0), self._col_ids
             )
         elif isinstance(m, AllSkyRadiationWithClearSkyDiagnostics):
             self.clear_flux_lw, _ = self._lw_clear(self.as_, self.bcs_lw)
             self.flux_lw, self.diag_lw = self._lw_cloudy(
-                self.as_, self.bcs_lw, self._mcica_key(0)
+                self.as_, self.bcs_lw, self._mcica_key(0), self._col_ids
             )
         return self.flux_lw
 
@@ -429,12 +456,12 @@ class RRTMGPSolver:
             self.flux_sw, self.diag_sw = self._sw_clear(self.as_, self.bcs_sw)
         elif isinstance(m, AllSkyRadiation):
             self.flux_sw, self.diag_sw = self._sw_cloudy(
-                self.as_, self.bcs_sw, self._mcica_key(1)
+                self.as_, self.bcs_sw, self._mcica_key(1), self._col_ids
             )
         elif isinstance(m, AllSkyRadiationWithClearSkyDiagnostics):
             self.clear_flux_sw, _ = self._sw_clear(self.as_, self.bcs_sw)
             self.flux_sw, self.diag_sw = self._sw_cloudy(
-                self.as_, self.bcs_sw, self._mcica_key(1)
+                self.as_, self.bcs_sw, self._mcica_key(1), self._col_ids
             )
         return self.flux_sw
 

@@ -100,8 +100,12 @@ def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *,
     keeping the full spectrum batched on-chip. ncol must be a multiple of
     ``chunk`` (pad upstream). cld_mask, when given, is chunked too.
 
-    solve_fn: (atm_chunk, bcs_chunk[, cld_mask_chunk]) -> flux namedtuple.
-    Returns the flux namedtuple with columns re-concatenated.
+    solve_fn: (atm_chunk, bcs_chunk[, cld_mask_chunk | seed, col_offset]) ->
+    flux namedtuple. In seed mode solve_fn receives the (replicated) seed AND
+    the chunk's global column offset — forward both to solve_lw/solve_sw
+    (cld_mask_seed=seed, col_offset=off) so the McICA sample equals the
+    unchunked one bitwise. Returns the flux namedtuple with columns
+    re-concatenated.
     """
     ncol = as_.ncol
     assert ncol % chunk == 0, (ncol, chunk)
@@ -124,12 +128,14 @@ def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *,
         m = jnp.moveaxis(m, 1, 0)
         fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c, m))
     elif cld_mask_seed is not None:
-        # decorrelate the in-kernel McICA streams across chunks
-        seeds = (
-            jnp.asarray(cld_mask_seed, jnp.int32)
-            + jnp.arange(n_chunks, dtype=jnp.int32) * jnp.int32(100003)
+        # one shared seed + per-chunk GLOBAL column offsets: each chunk's
+        # McICA stream is keyed on (seed, global column/block), so chunked
+        # == unchunked bitwise (and chunks stay decorrelated)
+        seeds = jnp.broadcast_to(
+            jnp.asarray(cld_mask_seed, jnp.int32), (n_chunks,)
         )
-        fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c, seeds))
+        offs = jnp.arange(n_chunks, dtype=jnp.int32) * jnp.int32(chunk)
+        fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c, seeds, offs))
     else:
         fluxes = jax.lax.map(lambda args: solve_fn(*args), (as_c, bcs_c))
 
@@ -286,6 +292,11 @@ def solve_lw(
                                          # IN-KERNEL (TPU PRNG, counter-based;
                                          # ref reset_rng_seed semantics) instead
                                          # of passing cld_mask
+    col_offset: jax.Array | int = 0,     # () int32 GLOBAL index of column 0 of
+                                         # this batch: makes seed-driven McICA
+                                         # a pure function of (seed, global
+                                         # column), bitwise-invariant to
+                                         # column sharding/chunking
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -317,7 +328,8 @@ def solve_lw(
         from ..ops.cloud_optics import build_cloud_mask_mcica
 
         cld_mask = build_cloud_mask_mcica(
-            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt,
+            col_offset=col_offset,
         )
         cld_mask_seed = None
 
@@ -352,6 +364,7 @@ def solve_lw(
             bcs.inc_flux, cld_b3, cld_mask, aero_b3, aero_act,
             as_.cloud_state.cld_frac if gen else None,
             cld_mask_seed if gen else None,
+            cld_blk_off=col_offset // 128 if gen else 0,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -403,6 +416,7 @@ def solve_lw(
             bcs.inc_flux, cld_b3, cld_mask, aero_b3, aero_act,
             as_.cloud_state.cld_frac if gen else None,
             cld_mask_seed if gen else None,
+            cld_blk_off=col_offset // mega_block if gen else 0,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -428,7 +442,8 @@ def solve_lw(
         from ..ops.cloud_optics import build_cloud_mask_mcica
 
         cld_mask = build_cloud_mask_mcica(
-            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt,
+            col_offset=col_offset,
         )
 
     raw = None
@@ -556,6 +571,7 @@ def solve_sw(
                                          # with utils.compile.tpu_compiler_options
     aero_species: tuple | None = None,   # STATIC active MERRA species indices
     cld_mask_seed: jax.Array | None = None,  # () int32 in-kernel McICA (see solve_lw)
+    col_offset: jax.Array | int = 0,     # () int32 global column-0 index (see solve_lw)
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -580,7 +596,8 @@ def solve_sw(
         from ..ops.cloud_optics import build_cloud_mask_mcica
 
         cld_mask = build_cloud_mask_mcica(
-            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt,
+            col_offset=col_offset,
         )
         cld_mask_seed = None
 
@@ -624,6 +641,7 @@ def solve_sw(
             bcs.inc_flux_diffuse, cld_b3, cld_mask, aero_b3, aero_act,
             as_.cloud_state.cld_frac if gen else None,
             cld_mask_seed if gen else None,
+            cld_blk_off=col_offset // 128 if gen else 0,
             nlay=as_.nlay, window=window, n_eta=lkp.n_eta, n_gpt=lkp.n_gpt,
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
@@ -652,7 +670,8 @@ def solve_sw(
         from ..ops.cloud_optics import build_cloud_mask_mcica
 
         cld_mask = build_cloud_mask_mcica(
-            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt
+            jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt,
+            col_offset=col_offset,
         )
 
     if pallas_tables is not None:

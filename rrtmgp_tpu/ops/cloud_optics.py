@@ -160,6 +160,7 @@ def build_cloud_mask_mcica(
     key: jax.Array,
     cld_frac: jax.Array,   # (nlay, ncol)
     n_gpt: int,
+    col_offset: jax.Array | int | None = None,
 ) -> jax.Array:
     """Max-random-overlap McICA cloud mask, (nlay, ncol, ngpt) bool.
 
@@ -168,6 +169,14 @@ def build_cloud_mask_mcica(
     ``jax.random`` keys — the reproducibility contract the reference gets from
     host RNG reseeding (reset_rng_seed, /root/reference/src/api/api_types.jl:75-85)
     comes from keying on (step, column, g-point) instead.
+
+    With ``col_offset`` given (the global index of column 0 of this batch),
+    each column draws from its own counter-based stream keyed on
+    fold_in(key, global column index): the mask becomes a pure function of
+    (key, global column), bitwise-invariant to column sharding (shard_map
+    over a mesh) and chunking (solve_chunked). With col_offset=None the
+    whole batch draws one monolithic block (slightly cheaper; layout-
+    dependent values).
 
     Recurrence (top layer -> bottom, only over cloudy-fraction layers):
       mask[top_cloudy] = u[top] >= 1 - cf[top]
@@ -179,7 +188,15 @@ def build_cloud_mask_mcica(
     """
     nlay, ncol = cld_frac.shape
     dtype = cld_frac.dtype
-    u = jax.random.uniform(key, (nlay, ncol, n_gpt), dtype=dtype)
+    if col_offset is None:
+        u = jax.random.uniform(key, (nlay, ncol, n_gpt), dtype=dtype)
+    else:
+        cols = jnp.asarray(col_offset, jnp.int32) + jnp.arange(ncol, dtype=jnp.int32)
+        keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(cols)
+        u = jax.vmap(
+            lambda k: jax.random.uniform(k, (nlay, n_gpt), dtype=dtype)
+        )(keys)  # (ncol, nlay, ngpt)
+        u = jnp.moveaxis(u, 0, 1)
     cf = cld_frac[:, :, None]  # broadcast over g-points
 
     # top-down scan over layers (reverse: start from TOA = last index)

@@ -358,7 +358,7 @@ def _lw_mega_kernel(
     # VMEM scratch first (TPU PRNG, counter-based seed x block; identical to
     # the lw2/sw megakernels and ref cloud_optics.jl:222-261)
     if gen_mask:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
         zc = jnp.zeros((b_cols, npad), jnp.float32)
         z1 = jnp.zeros((b_cols, 1), jnp.float32)
 
@@ -508,6 +508,13 @@ def lw_clear_mega(
     aero_mask: jax.Array | None = None,  # (nlay, ncol) active mask
     cld_frac: jax.Array | None = None,   # (nlay, ncol): in-kernel McICA
     cld_seed: jax.Array | None = None,   # () int32 counter seed
+    cld_blk_off: jax.Array | int = 0,    # () int32 GLOBAL first-block index of
+                                         # this shard/chunk (col_offset //
+                                         # block_cols): the in-kernel PRNG
+                                         # stream is seeded per (cld_seed,
+                                         # global block), so sharded/chunked
+                                         # solves reproduce the single-device
+                                         # McICA sample bitwise
     *,
     nlay: int,
     window: int,
@@ -658,7 +665,12 @@ def lw_clear_mega(
         (jax.ShapeDtypeStruct((ncol, 8), jnp.float32),) if gen_mask else ()
     )
     scalars = (q_base,) + (
-        (jnp.asarray(cld_seed, jnp.int32).reshape(1),) if gen_mask else ()
+        (
+            jnp.stack([
+                jnp.asarray(cld_seed, jnp.int32),
+                jnp.asarray(cld_blk_off, jnp.int32),
+            ]),
+        ) if gen_mask else ()
     )
     out = pl.pallas_call(
         kernel,
@@ -753,7 +765,7 @@ def _sw_mega_kernel(
     # can sample the cloud mask inline from the TPU PRNG (counter-based:
     # seed x column block; draws sequential in descending layer order).
     if gen_mask:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
     b_cols = up_acc.shape[1]
     zeroc = jnp.zeros((b_cols, npad), jnp.float32)
     zero1 = jnp.zeros((b_cols, 1), jnp.float32)
@@ -916,6 +928,13 @@ def sw_clear_mega(
     cld_frac: jax.Array | None = None,   # (nlay, ncol): in-kernel McICA via
                                          # the TPU PRNG (with cld_seed)
     cld_seed: jax.Array | None = None,   # () int32 counter seed
+    cld_blk_off: jax.Array | int = 0,    # () int32 GLOBAL first-block index of
+                                         # this shard/chunk (col_offset //
+                                         # block_cols): the in-kernel PRNG
+                                         # stream is seeded per (cld_seed,
+                                         # global block), so sharded/chunked
+                                         # solves reproduce the single-device
+                                         # McICA sample bitwise
     *,
     nlay: int,
     window: int,
@@ -1064,7 +1083,12 @@ def sw_clear_mega(
         (jax.ShapeDtypeStruct((ncol, 8), jnp.float32),) if gen_mask else ()
     )
     scalars = (q_base,) + (
-        (jnp.asarray(cld_seed, jnp.int32).reshape(1),) if gen_mask else ()
+        (
+            jnp.stack([
+                jnp.asarray(cld_seed, jnp.int32),
+                jnp.asarray(cld_blk_off, jnp.int32),
+            ]),
+        ) if gen_mask else ()
     )
     out = pl.pallas_call(
         kernel,
@@ -1161,7 +1185,7 @@ def _lw2_mega_kernel(
     # (adding recurrence + pfrac carry) must ascend, so the per-layer mask is
     # sampled into VMEM scratch first (TPU PRNG, counter-based seed x block)
     if gen_mask:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
         zc = jnp.zeros((b_cols, npad), jnp.float32)
         z1 = jnp.zeros((b_cols, 1), jnp.float32)
 
@@ -1356,6 +1380,13 @@ def lw2_mega(
     aero_mask: jax.Array | None = None,  # (nlay, ncol) active mask
     cld_frac: jax.Array | None = None,   # (nlay, ncol): in-kernel McICA
     cld_seed: jax.Array | None = None,   # () int32 counter seed
+    cld_blk_off: jax.Array | int = 0,    # () int32 GLOBAL first-block index of
+                                         # this shard/chunk (col_offset //
+                                         # block_cols): the in-kernel PRNG
+                                         # stream is seeded per (cld_seed,
+                                         # global block), so sharded/chunked
+                                         # solves reproduce the single-device
+                                         # McICA sample bitwise
     *,
     nlay: int,
     window: int,
@@ -1495,7 +1526,12 @@ def lw2_mega(
         (jax.ShapeDtypeStruct((ncol, 8), jnp.float32),) if gen_mask else ()
     )
     scalars = (q_base,) + (
-        (jnp.asarray(cld_seed, jnp.int32).reshape(1),) if gen_mask else ()
+        (
+            jnp.stack([
+                jnp.asarray(cld_seed, jnp.int32),
+                jnp.asarray(cld_blk_off, jnp.int32),
+            ]),
+        ) if gen_mask else ()
     )
     out = pl.pallas_call(
         kernel,
