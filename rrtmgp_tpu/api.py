@@ -117,6 +117,12 @@ def lookup_tables(
 
     if data_dir:
         from .data.loader import load_aerosol_lookup, load_cloud_lookup, load_gas_lookup
+        from .data.manifest import validate_rrtmgp_data
+
+        # structural validation before first use: variables present, dim
+        # names as expected, internal size relations consistent — a
+        # malformed checkout fails loudly instead of scrambling a table
+        validate_rrtmgp_data(data_dir, strict_v19=False)
 
         j = lambda name: os.path.join(data_dir, name)
         bundle = dict(

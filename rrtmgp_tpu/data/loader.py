@@ -7,12 +7,17 @@ the h2o_frgn/h2o_self aliases (lines 108-110), the key-species 0/0 -> 2/2 rule
 source composition from quiet/facular/sunspot components (543-551), and
 cloud/aerosol LUT packing (602-624, 4-56).
 
-Unlike the Julia loader, axis order in the file is handled by *inference*:
-each variable is permuted to this framework's canonical layout by matching
-dimension sizes, so the loader is robust to C/Fortran header order.
+Unlike the Julia loader (which hard-codes one permutation per variable,
+ext/lookup_constructors.jl:157,229-308), axis order in the file is resolved
+by the variable's dimension NAMES from the NetCDF header — robust to any
+on-disk axis order, including size ties (e.g. temperature == nbnd == 14 in
+the SW g224 file). Size matching is only a fallback for files without
+dimension metadata, and warns when the mapping is ambiguous.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 
@@ -21,10 +26,19 @@ from .netcdf import Dataset, char_to_strings
 
 
 def _permute_to(arr: np.ndarray, sizes: tuple[int, ...]) -> np.ndarray:
-    """Permute ``arr`` axes so its shape equals ``sizes`` (sizes must be unique
-    wherever ambiguity matters)."""
+    """Fallback: permute ``arr`` axes so its shape equals ``sizes`` by size
+    matching. Warns when two axes share a size (the mapping is then a guess —
+    dimension names should disambiguate; see ``_oriented``)."""
     if arr.shape == sizes:
         return arr
+    shape_counts = {s: list(arr.shape).count(s) for s in set(arr.shape)}
+    if any(c > 1 for c in shape_counts.values()):
+        warnings.warn(
+            f"ambiguous axis-size mapping {arr.shape} -> {sizes}: two axes "
+            "share a size and the file carries no dimension names; the "
+            "first-match permutation is a guess",
+            stacklevel=2,
+        )
     perm = []
     used = [False] * arr.ndim
     for s in sizes:
@@ -36,6 +50,40 @@ def _permute_to(arr: np.ndarray, sizes: tuple[int, ...]) -> np.ndarray:
         else:
             raise ValueError(f"cannot map shape {arr.shape} to {sizes}")
     return np.transpose(arr, perm)
+
+
+def _oriented(
+    ds: Dataset,
+    name: str,
+    want_dims: tuple[str, ...],
+    want_sizes: tuple[int, ...],
+    np_dtype=np.float64,
+) -> np.ndarray:
+    """Read variable ``name`` permuted into ``want_dims`` axis order.
+
+    Primary path: the variable's dimension names from the NetCDF header
+    (``ds.var_dims``) give the exact permutation regardless of on-disk order.
+    Fallback (files without dimension metadata): size matching via
+    ``_permute_to``. The result shape is always verified against
+    ``want_sizes``.
+    """
+    arr = np.asarray(ds[name], np_dtype)
+    dims = ds.var_dims.get(name, ())
+    if (
+        len(dims) == arr.ndim
+        and len(set(dims)) == arr.ndim
+        and all(d in dims for d in want_dims)
+        and len(want_dims) == arr.ndim
+    ):
+        out = np.transpose(arr, [dims.index(d) for d in want_dims])
+    else:
+        out = _permute_to(arr, want_sizes)
+    if out.shape != tuple(want_sizes):
+        raise ValueError(
+            f"{name}: expected shape {tuple(want_sizes)} (dims {want_dims}), "
+            f"got {out.shape} from file dims {dims} shape {arr.shape}"
+        )
+    return out
 
 
 def _uniform_grid(x: np.ndarray) -> tuple[float, float]:
@@ -111,7 +159,7 @@ def load_gas_lookup(path_or_ds, dtype=np.float64) -> GasLookup:
     dlnp = -neg_dlnp  # pressures decrease; store positive delta
 
     # key species with the 0/0 -> 2/2 rule
-    ks = _permute_to(np.asarray(ds["key_species"], np.int64), (n_bnd, 2, 2))
+    ks = _oriented(ds, "key_species", ("bnd", "atmos_layer", "pair"), (n_bnd, 2, 2), np.int64)
     key_species = []
     for b in range(n_bnd):
         pairs = []
@@ -123,17 +171,24 @@ def load_gas_lookup(path_or_ds, dtype=np.float64) -> GasLookup:
         key_species.append(tuple(pairs))
     key_species = tuple(key_species)
 
-    bnd_lims = _permute_to(np.asarray(ds["bnd_limits_gpt"], np.int64), (n_bnd, 2))
-    # ensure (n_bnd, 2) orientation even when n_bnd == 2
+    bnd_lims = _oriented(ds, "bnd_limits_gpt", ("bnd", "pair"), (n_bnd, 2), np.int64)
+    # size-fallback guard: ensure (n_bnd, 2) orientation even when n_bnd == 2
     if bnd_lims.shape[0] == 2 and n_bnd == 2 and bnd_lims[0, 1] < bnd_lims[0, 0]:
         bnd_lims = bnd_lims.T
     bnd_lims_gpt = tuple((int(a) - 1, int(b)) for a, b in bnd_lims)
 
-    kmajor = _permute_to(np.asarray(ds["kmajor"], np.float64), (n_gpt, n_p_ref + 1, n_t_ref, n_eta))
+    kmajor = _oriented(
+        ds, "kmajor",
+        ("gpt", "pressure_interp", "temperature", "mixing_fraction"),
+        (n_gpt, n_p_ref + 1, n_t_ref, n_eta),
+    )
 
     # vmr_ref: (atmos_layer=2, absorber_ext, ntemp); row ig (1-based gas) = index ig
     n_absrb_ext = int(ds.dims["absorber_ext"])
-    vmr_ref = _permute_to(np.asarray(ds["vmr_ref"], np.float64), (2, n_absrb_ext, n_t_ref))
+    vmr_ref = _oriented(
+        ds, "vmr_ref", ("atmos_layer", "absorber_ext", "temperature"),
+        (2, n_absrb_ext, n_t_ref),
+    )
     eta_half = np.empty((n_bnd, 2, n_t_ref), np.float64)
     for b in range(n_bnd):
         for t in range(2):
@@ -146,10 +201,18 @@ def load_gas_lookup(path_or_ds, dtype=np.float64) -> GasLookup:
         snames = char_to_strings(ds[f"scaling_gas_{side}"])
         dens = np.ravel(np.asarray(ds[f"minor_scales_with_density_{side}"]))
         compl = np.ravel(np.asarray(ds[f"scale_by_complement_{side}"]))
-        lims = np.asarray(ds[f"minor_limits_gpt_{side}"], np.int64)
+        n_itv = len(names)
+        lims = _oriented(
+            ds, f"minor_limits_gpt_{side}",
+            (f"minor_absorber_intervals_{side}", "pair"), (n_itv, 2), np.int64,
+        )
         kstart = np.ravel(np.asarray(ds[f"kminor_start_{side}"], np.int64))
         n_contrib = int(ds.dims[f"contributors_{side}"])
-        kminor = _permute_to(np.asarray(ds[f"kminor_{side}"], np.float64), (n_contrib, n_t_ref, n_eta))
+        kminor = _oriented(
+            ds, f"kminor_{side}",
+            (f"contributors_{side}", "temperature", "mixing_fraction"),
+            (n_contrib, n_t_ref, n_eta),
+        )
         meta = _minor_intervals(names, snames, dens, compl, lims, kstart, idx_gases)
         return meta, kminor
 
@@ -163,16 +226,21 @@ def load_gas_lookup(path_or_ds, dtype=np.float64) -> GasLookup:
     solar_src_tot = 0.0
     if is_lw:
         pf_name = "plank_fraction" if "plank_fraction" in ds else "planck_fraction"
-        planck_fraction = _permute_to(
-            np.asarray(ds[pf_name], np.float64), (n_gpt, n_p_ref + 1, n_t_ref, n_eta)
+        planck_fraction = _oriented(
+            ds, pf_name,
+            ("gpt", "pressure_interp", "temperature", "mixing_fraction"),
+            (n_gpt, n_p_ref + 1, n_t_ref, n_eta),
         )
         t_planck = np.asarray(ds["temperature_Planck"], np.float64)
         n_t_plnk = t_planck.shape[0]
         t_planck_min, t_planck_delta = _uniform_grid(t_planck)
-        totplnk = _permute_to(np.asarray(ds["totplnk"], np.float64), (n_t_plnk, n_bnd))
+        totplnk = _oriented(
+            ds, "totplnk", ("temperature_Planck", "bnd"), (n_t_plnk, n_bnd)
+        )
     else:
-        rayl_lower = _permute_to(np.asarray(ds["rayl_lower"], np.float64), (n_gpt, n_t_ref, n_eta))
-        rayl_upper = _permute_to(np.asarray(ds["rayl_upper"], np.float64), (n_gpt, n_t_ref, n_eta))
+        rdims = ("gpt", "temperature", "mixing_fraction")
+        rayl_lower = _oriented(ds, "rayl_lower", rdims, (n_gpt, n_t_ref, n_eta))
+        rayl_upper = _oriented(ds, "rayl_upper", rdims, (n_gpt, n_t_ref, n_eta))
         rayl = np.stack([rayl_lower, rayl_upper])
         # solar source composed from quiet + facular + sunspot
         # (/root/reference/ext/lookup_constructors.jl:543-551)
@@ -230,20 +298,22 @@ def load_cloud_lookup(path_or_ds, dtype=np.float64) -> CloudLookup:
 
     liq = np.stack(
         [
-            _permute_to(np.asarray(ds[k], np.float64), (nsize_liq, nband))
+            _oriented(ds, k, ("nsize_liq", "nband"), (nsize_liq, nband))
             for k in ("extliq", "ssaliq", "asyliq")
         ]
     )
     ice = np.stack(
         [
-            _permute_to(np.asarray(ds[k], np.float64), (nsize_ice, nband, nrghice))
+            _oriented(ds, k, ("nsize_ice", "nband", "nrghice"), (nsize_ice, nband, nrghice))
             for k in ("extice", "ssaice", "asyice")
         ]
     )
     return CloudLookup(
         liq=jnp.asarray(liq, dtype),
         ice=jnp.asarray(ice, dtype),
-        bnd_lims_wn=jnp.asarray(_permute_to(np.asarray(ds["bnd_limits_wavenumber"], np.float64), (2, nband)), dtype),
+        bnd_lims_wn=jnp.asarray(
+            _oriented(ds, "bnd_limits_wavenumber", ("pair", "nband"), (2, nband)), dtype
+        ),
         radliq_lwr=jnp.asarray(float(np.ravel(ds["radliq_lwr"])[0]), dtype),
         radliq_upr=jnp.asarray(float(np.ravel(ds["radliq_upr"])[0]), dtype),
         radice_lwr=jnp.asarray(float(np.ravel(ds["diamice_lwr"])[0]) / 2, dtype),
@@ -265,7 +335,7 @@ def load_aerosol_lookup(path_or_ds, dtype=np.float64) -> AerosolLookup:
     nrh = int(ds.dims["nrh"])
     assert nval == 3
 
-    bnd_lims_wn = _permute_to(np.asarray(ds["bnd_limits_wavenumber"], np.float64), (2, nband))
+    bnd_lims_wn = _oriented(ds, "bnd_limits_wavenumber", ("pair", "nband"), (2, nband))
     # 550 nm band detection (bnd_lims_wn in cm^-1)
     iband_550nm = -1
     for i in range(nband):
@@ -273,7 +343,10 @@ def load_aerosol_lookup(path_or_ds, dtype=np.float64) -> AerosolLookup:
             iband_550nm = i
             break
 
-    g = lambda k, shape: jnp.asarray(_permute_to(np.asarray(ds[k], np.float64), shape), dtype)
+    adims = {2: "pair", nval: "nval", nbin: "nbin", nrh: "nrh", nband: "nband"}
+    g = lambda k, shape: jnp.asarray(
+        _oriented(ds, k, tuple(adims[s] for s in shape), shape), dtype
+    )
     return AerosolLookup(
         size_bin_limits=g("merra_aero_bin_lims", (2, nbin)),
         rh_levels=jnp.asarray(np.asarray(ds["aero_rh"], np.float64), dtype),

@@ -18,6 +18,11 @@ class Dataset:
         self.path = path
         self._vars: dict[str, np.ndarray] = {}
         self.dims: dict[str, int] = {}
+        #: per-variable dimension NAMES in on-disk (C/row-major) axis order;
+        #: () when the file carries no dimension metadata for a variable.
+        #: The loaders permute by these names (robust to any on-disk order),
+        #: falling back to size matching only when names are absent.
+        self.var_dims: dict[str, tuple[str, ...]] = {}
         try:
             self._load_hdf5(path)
         except OSError:
@@ -33,9 +38,14 @@ class Dataset:
                 if isinstance(obj, h5py.Dataset):
                     self._vars[name] = obj[()]
                     # NetCDF4 stores dimension scales; collect named dims
+                    dim_names = []
                     for i, dim in enumerate(obj.dims):
-                        for scale in dim.values():
-                            phony[scale.name.lstrip("/")] = obj.shape[i]
+                        names_i = [scale.name.lstrip("/") for scale in dim.values()]
+                        for n in names_i:
+                            phony[n] = obj.shape[i]
+                        dim_names.append(names_i[0] if names_i else "")
+                    if any(dim_names):
+                        self.var_dims[name] = tuple(dim_names)
 
             f.visititems(visit)
             # netCDF4 dimensions appear as datasets with CLASS=DIMENSION_SCALE
@@ -50,6 +60,7 @@ class Dataset:
             self.dims = {k: (v if v is not None else 0) for k, v in f.dimensions.items()}
             for name, var in f.variables.items():
                 self._vars[name] = np.array(var[()])
+                self.var_dims[name] = tuple(var.dimensions)
 
     def __getitem__(self, name: str) -> np.ndarray:
         return self._vars[name]

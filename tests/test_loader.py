@@ -19,23 +19,32 @@ GASES = ["h2o", "co2", "o3", "n2o"]
 STRLEN = 32
 
 
-def _write_gas_nc(path, longwave=True):
+def _write_gas_nc(path, longwave=True, reverse=False, nbnd=NBND, ntemp=NTEMP):
+    """Write an rrtmgp-gas-*-shaped NetCDF file.
+
+    ``reverse=True`` writes every multi-dim variable with its axes REVERSED
+    (Fortran-style header order) — the loader must produce identical lookups
+    because it permutes by dimension NAME. ``nbnd``/``ntemp`` allow dim-size
+    collisions (the real hazard: temperature == nbnd_sw == 14 in g224 files),
+    which size-based matching cannot resolve.
+    """
     from scipy.io import netcdf_file
 
+    per_bnd = NGPT // nbnd
     rng = np.random.default_rng(0)
     f = netcdf_file(path, "w")
-    f.createDimension("bnd", NBND)
+    f.createDimension("bnd", nbnd)
     f.createDimension("gpt", NGPT)
     f.createDimension("atmos_layer", 2)
-    f.createDimension("temperature", NTEMP)
+    f.createDimension("temperature", ntemp)
     f.createDimension("pressure", NPRESS)
     f.createDimension("mixing_fraction", NETA)
     f.createDimension("absorber", len(GASES))
     f.createDimension("absorber_ext", len(GASES) + 1)
     f.createDimension("minor_absorber_intervals_lower", 2)
     f.createDimension("minor_absorber_intervals_upper", 1)
-    f.createDimension("contributors_lower", 2 * NGPT // NBND)
-    f.createDimension("contributors_upper", NGPT // NBND)
+    f.createDimension("contributors_lower", 2 * per_bnd)
+    f.createDimension("contributors_upper", per_bnd)
     f.createDimension("pair", 2)
     f.createDimension("string_len", STRLEN)
     f.createDimension("one", 1)
@@ -60,6 +69,10 @@ def _write_gas_nc(path, longwave=True):
     gv[:] = arr
 
     def mk(name, dims, data):
+        data = np.asarray(data)
+        if reverse and data.ndim > 1:
+            dims = tuple(dims)[::-1]
+            data = np.transpose(data)
         v = f.createVariable(name, "d", dims)
         if dims == ():
             v.assignValue(data)
@@ -69,21 +82,26 @@ def _write_gas_nc(path, longwave=True):
 
     p_ref = np.logspace(np.log10(105000.0), np.log10(10.0), NPRESS)
     mk("press_ref", ("pressure",), p_ref)
-    mk("temp_ref", ("temperature",), np.linspace(160.0, 360.0, NTEMP))
+    mk("temp_ref", ("temperature",), np.linspace(160.0, 360.0, ntemp))
     mk("press_ref_trop", ("one",), np.array([9948.4]))
     mk("absorption_coefficient_ref_T", ("one",), np.array([250.0]))
     mk("absorption_coefficient_ref_P", ("one",), np.array([1000.0]))
 
-    # key_species (bnd, atmos_layer, pair); band 1 has 0/0 in upper -> 2/2 rule
-    ks = np.array([[[1, 2], [1, 2]], [[3, 2], [0, 0]]], np.int32)
+    # key_species (bnd, atmos_layer, pair); odd bands have 0/0 upper -> 2/2 rule
+    ks = np.array(
+        [[[1, 2], [1, 2]] if b % 2 == 0 else [[3, 2], [0, 0]] for b in range(nbnd)],
+        np.int32,
+    )
     mk("key_species", ("bnd", "atmos_layer", "pair"), ks)
-    mk("bnd_limits_gpt", ("bnd", "pair"), np.array([[1, 16], [17, 32]]))
-    mk("bnd_limits_wavenumber", ("bnd", "pair"), np.array([[10.0, 350.0], [350.0, 1300.0]]))
+    bl = np.array([[b * per_bnd + 1, (b + 1) * per_bnd] for b in range(nbnd)])
+    mk("bnd_limits_gpt", ("bnd", "pair"), bl)
+    mk("bnd_limits_wavenumber", ("bnd", "pair"),
+       np.stack([np.linspace(10.0, 1200.0, nbnd), np.linspace(350.0, 1300.0, nbnd)], 1))
 
     # kmajor file order: (temperature, pressure_interp, mixing_fraction, gpt)
-    kmajor = rng.random((NTEMP, NPRESS + 1, NETA, NGPT))
+    kmajor = rng.random((ntemp, NPRESS + 1, NETA, NGPT))
     mk("kmajor", ("temperature", "pressure_interp", "mixing_fraction", "gpt"), kmajor)
-    vmr_ref = rng.random((2, len(GASES) + 1, NTEMP)) + 0.1
+    vmr_ref = rng.random((2, len(GASES) + 1, ntemp)) + 0.1
     mk("vmr_ref", ("atmos_layer", "absorber_ext", "temperature"), vmr_ref)
 
     # minor gases
@@ -108,39 +126,41 @@ def _write_gas_nc(path, longwave=True):
     mk("minor_scales_with_density_upper", ("minor_absorber_intervals_upper",), np.array([0]))
     mk("scale_by_complement_lower", ("minor_absorber_intervals_lower",), np.array([1, 0]))
     mk("scale_by_complement_upper", ("minor_absorber_intervals_upper",), np.array([0]))
-    mk("minor_limits_gpt_lower", ("minor_absorber_intervals_lower", "pair"), np.array([[1, 16], [17, 32]]))
-    mk("minor_limits_gpt_upper", ("minor_absorber_intervals_upper", "pair"), np.array([[1, 16]]))
-    mk("kminor_start_lower", ("minor_absorber_intervals_lower",), np.array([1, 17]))
+    mk("minor_limits_gpt_lower", ("minor_absorber_intervals_lower", "pair"),
+       np.array([[1, per_bnd], [NGPT - per_bnd + 1, NGPT]]))
+    mk("minor_limits_gpt_upper", ("minor_absorber_intervals_upper", "pair"),
+       np.array([[1, per_bnd]]))
+    mk("kminor_start_lower", ("minor_absorber_intervals_lower",), np.array([1, per_bnd + 1]))
     mk("kminor_start_upper", ("minor_absorber_intervals_upper",), np.array([1]))
     mk(
         "kminor_lower",
         ("temperature", "mixing_fraction", "contributors_lower"),
-        rng.random((NTEMP, NETA, 2 * NGPT // NBND)),
+        rng.random((ntemp, NETA, 2 * per_bnd)),
     )
     mk(
         "kminor_upper",
         ("temperature", "mixing_fraction", "contributors_upper"),
-        rng.random((NTEMP, NETA, NGPT // NBND)),
+        rng.random((ntemp, NETA, per_bnd)),
     )
 
     if longwave:
         mk(
             "plank_fraction",
             ("temperature", "pressure_interp", "mixing_fraction", "gpt"),
-            rng.random((NTEMP, NPRESS + 1, NETA, NGPT)),
+            rng.random((ntemp, NPRESS + 1, NETA, NGPT)),
         )
         mk("temperature_Planck", ("temperature_Planck",), np.linspace(160.0, 355.0, NPLNK))
-        mk("totplnk", ("temperature_Planck", "bnd"), rng.random((NPLNK, NBND)))
+        mk("totplnk", ("temperature_Planck", "bnd"), rng.random((NPLNK, nbnd)))
     else:
         mk(
             "rayl_lower",
             ("temperature", "mixing_fraction", "gpt"),
-            rng.random((NTEMP, NETA, NGPT)),
+            rng.random((ntemp, NETA, NGPT)),
         )
         mk(
             "rayl_upper",
             ("temperature", "mixing_fraction", "gpt"),
-            rng.random((NTEMP, NETA, NGPT)),
+            rng.random((ntemp, NETA, NGPT)),
         )
         mk("solar_source_quiet", ("gpt",), np.full(NGPT, 4.0))
         mk("solar_source_facular", ("gpt",), np.full(NGPT, 1.0))
@@ -396,3 +416,96 @@ def test_loaded_cld_aero_lookups_run_solver(lw_file, cld_file, aero_file):
     )(atm, bcs, mask)
     assert bool(jnp.all(jnp.isfinite(flux.flux_up)))
     assert float(jnp.min(flux.flux_up)) >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Axis-order robustness: dimension-NAME-driven loading
+# ---------------------------------------------------------------------------
+
+
+def _assert_lookups_equal(a, b):
+    """All array leaves bitwise equal + all static metadata equal."""
+    import jax
+
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb  # static metadata (key species, minor intervals, grids)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+@pytest.mark.parametrize("longwave", [True, False])
+def test_load_order_independent(tmp_path, longwave):
+    """A file with every variable written in REVERSED (Fortran-style) axis
+    order loads to the same lookup as the C-order file: the loader permutes
+    by dimension NAME, never guessing from the header order."""
+    pc = str(tmp_path / "c.nc")
+    pr = str(tmp_path / "rev.nc")
+    _write_gas_nc(pc, longwave=longwave)
+    _write_gas_nc(pr, longwave=longwave, reverse=True)
+    _assert_lookups_equal(load_gas_lookup(pc), load_gas_lookup(pr))
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_load_colliding_dim_sizes(tmp_path, reverse):
+    """nbnd == ntemp (the g224 hazard: temperature == nbnd_sw == 14): size
+    matching alone cannot orient totplnk/eta tables; names must resolve it,
+    in either on-disk axis order."""
+    nb = nt = 8  # NGPT=32 -> per_bnd=4
+    pc = str(tmp_path / "c.nc")
+    px = str(tmp_path / "x.nc")
+    _write_gas_nc(pc, longwave=True, nbnd=nb, ntemp=nt)
+    _write_gas_nc(px, longwave=True, reverse=reverse, nbnd=nb, ntemp=nt)
+    a = load_gas_lookup(pc)
+    b = load_gas_lookup(px)
+    _assert_lookups_equal(a, b)
+    assert a.n_bnd == nb and a.n_temp == nt
+    # totplnk must be (n_t_plnk, nbnd), oriented by name
+    assert a.totplnk.shape == (NPLNK, nb)
+
+
+# ---------------------------------------------------------------------------
+# Manifest validation
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_structure_valid(lw_file, sw_file):
+    from rrtmgp_tpu.data.manifest import validate_structure
+
+    assert validate_structure(Dataset(lw_file), "gas_lw") == []
+    assert validate_structure(Dataset(sw_file), "gas_sw") == []
+
+
+def test_manifest_detects_missing_and_misnamed(tmp_path):
+    from rrtmgp_tpu.data.manifest import validate_structure
+
+    p = str(tmp_path / "bad.nc")
+    _write_gas_nc(p, longwave=True)
+    ds = Dataset(p)
+    # drop a required variable
+    del ds._vars["kmajor"]
+    probs = validate_structure(ds, "gas_lw")
+    assert any("kmajor" in q for q in probs)
+    # misname a dimension
+    ds2 = Dataset(p)
+    ds2.var_dims["totplnk"] = ("bogus_dim", "bnd")
+    probs2 = validate_structure(ds2, "gas_lw")
+    assert any("totplnk" in q for q in probs2)
+
+
+def test_manifest_data_dir_report(tmp_path):
+    from rrtmgp_tpu.data.manifest import validate_rrtmgp_data
+
+    # empty dir: all files reported missing, no raise
+    report = validate_rrtmgp_data(str(tmp_path), strict_v19=False)
+    assert all(p == ["file not present"] for p in report.values())
+    # a structurally-valid (synthetic-size) gas file passes relaxed mode
+    _write_gas_nc(str(tmp_path / "rrtmgp-gas-lw-g256.nc"), longwave=True)
+    report = validate_rrtmgp_data(str(tmp_path), strict_v19=False)
+    assert report["rrtmgp-gas-lw-g256.nc"] == []
+    # strict v1.9 mode rejects the synthetic sizes
+    import pytest as _pytest
+    from rrtmgp_tpu.data.manifest import ManifestError
+
+    with _pytest.raises(ManifestError):
+        validate_rrtmgp_data(str(tmp_path), strict_v19=True)
