@@ -145,6 +145,39 @@ def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *,
     return jax.tree_util.tree_map(unchunk, fluxes)
 
 
+def _window_guard_ok(lkp, tables, as_, window: int, mega: bool) -> jax.Array:
+    """Traced (in-jit) validity of the windowed="force" table-window
+    invariant for the CURRENT p/t fields. Returns a () bool.
+
+    Force mode trusts a static window computed at init; if the host drifts
+    pressures/temperatures beyond it, the kernels would read wrong table
+    rows — silently wrong fluxes, the worst failure mode. This check costs
+    one min/max reduction over (nlay, ncol); solves apply it by poisoning
+    outputs with NaN when violated (see _poison_unless), so violations are
+    loud. Recovery: rebuild the solver (recomputing the window) or use
+    windowed="auto".
+    """
+    from ..ops import pallas_interp as pk
+    from ..ops.gas_optics import compute_pt_interp
+
+    rps = pk.rows_per_slab(lkp.n_temp)
+    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
+    q = pt.jpress_base * rps + pt.jtemp
+    n_rows = tables.fused_hi.shape[0]
+    if mega:
+        _, ok = pk.mega_window_bases(q, rps, n_rows, window)
+    else:
+        _, ok = pk.window_bases(q, rps, n_rows, window)
+    return ok
+
+
+def _poison_unless(flux, ok):
+    """NaN-poison all flux fields unless ``ok`` (a () bool) holds."""
+    if ok is None:
+        return flux
+    return type(flux)(*(jnp.where(ok, f, jnp.nan) for f in flux))
+
+
 def _bands_to_gpt(lkp: GasLookup, x_bands: jax.Array) -> jax.Array:
     """Expand a per-band array (..., nbnd) to per-g-point (..., ngpt)."""
     return jnp.take(x_bands, jnp.asarray(gpt2band_np(lkp)), axis=-1)
@@ -341,6 +374,7 @@ def solve_lw(
         from ..ops.pallas_mega import lw2_mega
 
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
+        win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         (q_base, pack3, eta3, _, plk_lev, plk_sfc, groups_static,
          scal_offs) = mega_lw_inputs(
             lkp, pallas_tables, as_, window, 128, need_lay=False
@@ -373,7 +407,7 @@ def solve_lw(
         )
         flux_up, flux_dn = out[0], out[1]
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
-        flux = _apply_metric_scaling(flux, metric_scaling)
+        flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)
         diag = SolveDiagnostics()
         if gen:
             diag = diag._replace(cld_cover=out[2].astype(dtype))
@@ -393,6 +427,7 @@ def solve_lw(
         composed = lkp_cld is not None or lkp_aero is not None
         mega_block = 256 if as_.ncol % 256 == 0 and not composed else 128
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
+        win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
          scal_offs) = mega_lw_inputs(lkp, pallas_tables, as_, window, mega_block)
         cld_b3 = None
@@ -426,7 +461,7 @@ def solve_lw(
         )
         flux_up, flux_dn = out[0], out[1]
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
-        flux = _apply_metric_scaling(flux, metric_scaling)
+        flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)
         diag = SolveDiagnostics()
         if gen:
             diag = diag._replace(cld_cover=out[2].astype(dtype))
@@ -444,6 +479,13 @@ def solve_lw(
         cld_mask = build_cloud_mask_mcica(
             jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt,
             col_offset=col_offset,
+        )
+
+    win_ok = None
+    if pallas_tables is not None and pallas_windowed == "force":
+        win_ok = _window_guard_ok(
+            lkp, pallas_tables, as_,
+            min(pallas_window, pallas_tables.fused_hi.shape[0]), mega=False,
         )
 
     raw = None
@@ -498,7 +540,7 @@ def solve_lw(
             lkp.bnd_lims_gpt, inc, block_cols=pallas_sweep_cols,
         )
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
-        flux = _apply_metric_scaling(flux, metric_scaling)
+        flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)
         diag = SolveDiagnostics()
         if cld_mask is not None:
             from ..ops.cloud_optics import cloud_cover_from_mask
@@ -542,7 +584,7 @@ def solve_lw(
         flux_dn = jnp.sum(dn, axis=-1)
 
     flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
-    flux = _apply_metric_scaling(flux, metric_scaling)
+    flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)
 
     diag = SolveDiagnostics()
     if cld_mask is not None:
@@ -614,6 +656,7 @@ def solve_sw(
         from ..ops.pallas_mega import sw_clear_mega
 
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
+        win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         q_base, pack3, eta3, groups_static, scal_offs = mega_sw_inputs(
             lkp, pallas_tables, as_, window
         )
@@ -654,7 +697,7 @@ def solve_sw(
         flux_dn = jnp.where(day, flux_dn, 0.0)
         flux_dn_dir = jnp.where(day, flux_dn_dir, 0.0)
         flux = FluxSW(flux_up, flux_dn, flux_dn_dir, flux_up - flux_dn)
-        flux = _apply_metric_scaling(flux, metric_scaling)
+        flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)
         diag = SolveDiagnostics(aod_sw_ext=aod_ext, aod_sw_sca=aod_sca)
         if gen:
             diag = diag._replace(cld_cover=out[3].astype(dtype))
@@ -672,6 +715,13 @@ def solve_sw(
         cld_mask = build_cloud_mask_mcica(
             jax.random.key(cld_mask_seed), as_.cloud_state.cld_frac, lkp.n_gpt,
             col_offset=col_offset,
+        )
+
+    win_ok = None
+    if pallas_tables is not None and pallas_windowed == "force":
+        win_ok = _window_guard_ok(
+            lkp, pallas_tables, as_,
+            min(pallas_window, pallas_tables.fused_hi.shape[0]), mega=False,
         )
 
     if pallas_tables is not None:
@@ -741,7 +791,7 @@ def solve_sw(
     flux_dn = jnp.where(day, flux_dn, 0.0)
     flux_dn_dir = jnp.where(day, flux_dn_dir, 0.0)
     flux = FluxSW(flux_up, flux_dn, flux_dn_dir, flux_up - flux_dn)
-    flux = _apply_metric_scaling(flux, metric_scaling)
+    flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)
 
     diag = SolveDiagnostics(aod_sw_ext=aod_ext, aod_sw_sca=aod_sca)
     if cld_mask is not None:
