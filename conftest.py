@@ -15,9 +15,13 @@ import os
 import sys
 
 _AXON_MARKER = ".axon_site"
+# RRTMGP_TPU_TESTS=1 keeps the axon plugin loaded: the tests_tpu/ suite runs
+# ON the real TPU (in-kernel McICA, megakernel-vs-XLA equivalence, f64
+# dispatch) and is skipped on any other backend.
 if (
     _AXON_MARKER in os.environ.get("PYTHONPATH", "")
     and os.environ.get("_RRTMGP_TPU_REEXEC") != "1"
+    and os.environ.get("RRTMGP_TPU_TESTS") != "1"
 ):
     env = dict(os.environ)
     env["PYTHONPATH"] = ":".join(

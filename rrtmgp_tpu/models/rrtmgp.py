@@ -340,6 +340,16 @@ def solve_lw(
     dtype = as_.p_lay.dtype
     Ds, wts = angular_discretization(n_gauss_angles)
 
+    if pallas_tables is not None and dtype != jnp.float32:
+        import warnings
+
+        warnings.warn(
+            "pallas_tables ignored: the Pallas TPU kernel tier is f32-only; "
+            "non-f32 inputs dispatch the exact-precision XLA path instead "
+            "(slower, but true f64 — not an f32-faithful approximation)",
+            stacklevel=2,
+        )
+        pallas_tables = None
     if pallas_rte is None:
         pallas_rte = pallas_tables is not None and dtype == jnp.float32
 
@@ -626,6 +636,16 @@ def solve_sw(
     ncol = as_.ncol
     mu0 = bcs.cos_zenith
 
+    if pallas_tables is not None and dtype != jnp.float32:
+        import warnings
+
+        warnings.warn(
+            "pallas_tables ignored: the Pallas TPU kernel tier is f32-only; "
+            "non-f32 inputs dispatch the exact-precision XLA path instead "
+            "(slower, but true f64 — not an f32-faithful approximation)",
+            stacklevel=2,
+        )
+        pallas_tables = None
     if pallas_rte is None:
         pallas_rte = pallas_tables is not None and dtype == jnp.float32
 

@@ -1,0 +1,105 @@
+"""Megakernel-vs-XLA flux equivalence + f64 dispatch, on the real TPU.
+
+VERDICT round 1: the megakernels' correctness off-TPU is covered by
+interpret-mode tests; this gates the COMPILED kernels (Mosaic lowering, bf16
+table splits, windowed VMEM residency) against the plain-XLA solve on the
+same chip, at 128 and 256 columns (both megakernel block paths), and pins
+the f64 story: pallas_tables with f64 inputs must dispatch to a correct
+fallback, matching the pure-XLA f64 solve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrtmgp_tpu.data.synthetic import synthetic_atmosphere, synthetic_gas_lookup
+from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
+from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables, compute_min_window
+from rrtmgp_tpu.states import LwBCs, SwBCs
+from rrtmgp_tpu.utils.compile import sweep_block_cols, tpu_compiler_options
+
+NLAY = 30
+
+
+def _problem(ncol, dtype):
+    lkp_lw = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=dtype)
+    lkp_sw = synthetic_gas_lookup(longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype)
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=dtype)
+    jdt = jnp.dtype(dtype)
+    bcs_lw = LwBCs(sfc_emis=jnp.full((16, ncol), 0.98, jdt))
+    bcs_sw = SwBCs(
+        cos_zenith=jnp.full((ncol,), 0.6, jdt),
+        toa_flux=jnp.full((ncol,), 1361.0, jdt),
+        sfc_alb_direct=jnp.full((14, ncol), 0.2, jdt),
+        sfc_alb_diffuse=jnp.full((14, ncol), 0.2, jdt),
+    )
+    return lkp_lw, lkp_sw, atm, bcs_lw, bcs_sw
+
+
+@pytest.mark.parametrize("ncol", [128, 256])
+@pytest.mark.parametrize("solver", ["lw_noscat", "lw_2stream", "sw"])
+def test_mega_vs_xla_flux_equivalence(ncol, solver):
+    """Compiled megakernel fluxes vs the pure-XLA batched solve, f32.
+
+    Tolerance: the kernels interpolate from a bf16 hi/lo-split table
+    (~f32-faithful) and reduce 224/256 g-points in f32 — flux agreement to
+    ~1e-2 W/m^2 absolute on O(300 W/m^2) fluxes (relative ~3e-5 == f32 eps
+    scale) is the expected envelope; an index bug would be O(10) W/m^2.
+    """
+    lkp_lw, lkp_sw, atm, bcs_lw, bcs_sw = _problem(ncol, np.float32)
+    copts = tpu_compiler_options()
+    if solver == "sw":
+        lkp, bcs, fn = lkp_sw, bcs_sw, solve_sw
+        kw = {}
+    else:
+        lkp, bcs, fn = lkp_lw, bcs_lw, solve_lw
+        kw = {"two_stream": solver == "lw_2stream"}
+    tabs = build_pallas_tables(lkp)
+    win = compute_min_window(lkp, atm, mega=True)
+    f_mega = jax.jit(
+        lambda a, b: fn(
+            lkp, a, b, pallas_tables=tabs, pallas_windowed="force",
+            pallas_window=win, pallas_sweep_cols=sweep_block_cols(), **kw
+        )[0],
+        compiler_options=copts,
+    )
+    f_xla = jax.jit(lambda a, b: fn(lkp, a, b, **kw)[0], compiler_options=copts)
+    r_m = f_mega(atm, bcs)
+    r_x = f_xla(atm, bcs)
+    scale = float(jnp.max(jnp.abs(r_x.flux_dn)))
+    for a, b in zip(r_m, r_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-3
+        )
+
+
+def test_f64_dispatch_matches_xla():
+    """pallas_tables + f64 inputs: the dispatch must IGNORE the f32-only
+    kernel tier (with a warning) and produce the exact-precision XLA f64
+    solve — bitwise — rather than silently degrading precision."""
+    lkp_lw, lkp_sw, atm, bcs_lw, bcs_sw = _problem(128, np.float64)
+    copts = tpu_compiler_options()
+    tabs = build_pallas_tables(
+        jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32) if hasattr(x, "dtype") else x, lkp_lw
+        )
+    )
+    win = compute_min_window(lkp_lw, atm, mega=True)
+    with pytest.warns(UserWarning, match="f32-only"):
+        f_tabs = jax.jit(
+            lambda a, b: solve_lw(
+                lkp_lw, a, b, two_stream=False, pallas_tables=tabs,
+                pallas_windowed="force", pallas_window=win,
+            )[0],
+            compiler_options=copts,
+        )
+        r_t = f_tabs(atm, bcs_lw)
+    f_xla = jax.jit(
+        lambda a, b: solve_lw(lkp_lw, a, b, two_stream=False)[0],
+        compiler_options=copts,
+    )
+    r_x = f_xla(atm, bcs_lw)
+    assert r_t.flux_up.dtype == jnp.float64
+    np.testing.assert_array_equal(np.asarray(r_t.flux_up), np.asarray(r_x.flux_up))
+    np.testing.assert_array_equal(np.asarray(r_t.flux_dn), np.asarray(r_x.flux_dn))
