@@ -34,7 +34,15 @@ from .states import (
     compute_relative_humidity,
     get_vmr,
 )
-from .models.rrtmgp import FluxLW, FluxSW, solve_lw, solve_sw
+from .models.rrtmgp import (
+    FluxLW,
+    FluxSW,
+    differentiable_solve_lw,
+    differentiable_solve_sw,
+    solve_chunked,
+    solve_lw,
+    solve_sw,
+)
 from .api import (
     AllSkyRadiation,
     AllSkyRadiationWithClearSkyDiagnostics,

@@ -604,6 +604,80 @@ def solve_lw(
     return flux, diag
 
 
+def differentiable_solve_lw(lkp: GasLookup, **kwargs):
+    """``f(as_, bcs) -> FluxLW`` with a custom VJP: Pallas-kernel forward,
+    XLA-path backward.
+
+    The Pallas kernel tier (megakernels and the two-kernel path) has no
+    native adjoints; instead of abandoning TPU kernels for gradient work,
+    the forward pass runs whatever kernel path ``kwargs`` selects
+    (pallas_tables / pallas_windowed / ...) while the backward pass
+    differentiates the mathematically-identical pure-XLA solve evaluated at
+    the same primals. Because the two paths agree to f32 tolerance, the
+    returned cotangents are the exact gradients of the XLA solve and
+    f32-accurate gradients of the kernel forward.
+
+    Gradients flow to both ``as_`` (atmospheric state) and ``bcs``.
+    McICA cloud solves are excluded (a sampled mask is not a differentiable
+    input); differentiate the XLA path with an explicit ``cld_mask`` for
+    cloudy adjoints. Cost: backward ≈ one XLA-path VJP (slower than the
+    kernel forward — the standard price of an XLA-cotangent adjoint).
+    """
+    assert "cld_mask" not in kwargs and "cld_mask_seed" not in kwargs, (
+        "McICA cloud solves are not differentiable via the kernel path; use "
+        "the XLA path (pallas_tables=None) with an explicit cld_mask"
+    )
+    xla_kwargs = {
+        k: v for k, v in kwargs.items() if not k.startswith("pallas_")
+    }
+
+    @jax.custom_vjp
+    def f(as_, bcs):
+        return solve_lw(lkp, as_, bcs, **kwargs)[0]
+
+    def fwd(as_, bcs):
+        return f(as_, bcs), (as_, bcs)
+
+    def bwd(res, ct):
+        as_, bcs = res
+        _, vjp = jax.vjp(
+            lambda a, b: solve_lw(lkp, a, b, **xla_kwargs)[0], as_, bcs
+        )
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def differentiable_solve_sw(lkp: GasLookup, **kwargs):
+    """``f(as_, bcs) -> FluxSW`` with a custom VJP: Pallas-kernel forward,
+    XLA-path backward (see differentiable_solve_lw)."""
+    assert "cld_mask" not in kwargs and "cld_mask_seed" not in kwargs, (
+        "McICA cloud solves are not differentiable via the kernel path; use "
+        "the XLA path (pallas_tables=None) with an explicit cld_mask"
+    )
+    xla_kwargs = {
+        k: v for k, v in kwargs.items() if not k.startswith("pallas_")
+    }
+
+    @jax.custom_vjp
+    def f(as_, bcs):
+        return solve_sw(lkp, as_, bcs, **kwargs)[0]
+
+    def fwd(as_, bcs):
+        return f(as_, bcs), (as_, bcs)
+
+    def bwd(res, ct):
+        as_, bcs = res
+        _, vjp = jax.vjp(
+            lambda a, b: solve_sw(lkp, a, b, **xla_kwargs)[0], as_, bcs
+        )
+        return vjp(ct)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def solve_sw(
     lkp: GasLookup,
     as_: AtmosphericState,

@@ -17,8 +17,10 @@ the average of the two one-sided slopes, not the AD (right-sided) slope.
 The AD itself was cross-validated three ways while writing these tests
 (composite grad == cotangent . jvp == cotangent . elementwise-FD-jvp).
 
-The Pallas megakernel path is NOT differentiable (no custom VJPs yet); users
-wanting grads pass pallas_tables=None, which is the default.
+The Pallas kernel tier has no native adjoints, but
+models.rrtmgp.differentiable_solve_{lw,sw} wrap it with a custom VJP:
+kernel-path forward, XLA-path backward (tested below). McICA cloud solves
+stay XLA-only for gradients (explicit cld_mask).
 """
 
 import dataclasses
@@ -151,3 +153,101 @@ def test_allsky_grad_through_cloud_optics():
     assert np.all(np.isfinite(g))
     # thicker clouds trap longwave -> OLR decreases where clouds exist
     assert np.any(g != 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel path: custom VJP (kernel forward, XLA backward)
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_path_custom_vjp_lw():
+    """differentiable_solve_lw: the VALUE comes from the Pallas kernel path
+    and the GRADIENT from the XLA path. Comparisons are f32-tight rather
+    than bitwise: the same math compiled into different jit programs (grad
+    vs plain) fuses differently at f32 roundoff (~1e-5 relative)."""
+    from rrtmgp_tpu.models.rrtmgp import differentiable_solve_lw
+    from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables, compute_min_window
+
+    lkp = synthetic_gas_lookup(longwave=True, n_gpt=NGPT, n_bnd=NBND, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=128, nlay=8, dtype=np.float32)
+    bcs = LwBCs(sfc_emis=jnp.full((NBND, 128), 0.98, jnp.float32))
+    tabs = build_pallas_tables(lkp)
+    win = compute_min_window(lkp, atm, mega=True)
+    pk = dict(
+        pallas_tables=tabs, pallas_windowed="force", pallas_window=win,
+        two_stream=True,
+    )
+    f = differentiable_solve_lw(lkp, **pk)
+
+    def olr(t_lay, solve):
+        flux = solve(dataclasses.replace(atm, t_lay=t_lay), bcs)
+        return jnp.sum(flux.flux_up[-1]), flux
+
+    (v, flux), g = jax.jit(
+        lambda t: jax.value_and_grad(lambda tt: olr(tt, f), has_aux=True)(t)
+    )(atm.t_lay)
+
+    # forward == plain Pallas solve (same kernels; f32 fusion noise only)
+    flux_pallas, _ = jax.jit(lambda a, b: solve_lw(lkp, a, b, **pk))(atm, bcs)
+    np.testing.assert_allclose(
+        np.asarray(flux.flux_up), np.asarray(flux_pallas.flux_up), rtol=3e-5
+    )
+
+    # gradient == XLA-path gradient (the bwd IS the XLA vjp; f32 fusion noise)
+    g_xla = jax.jit(
+        jax.grad(
+            lambda t: jnp.sum(
+                solve_lw(
+                    lkp, dataclasses.replace(atm, t_lay=t), bcs, two_stream=True
+                )[0].flux_up[-1]
+            )
+        )
+    )(atm.t_lay)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_xla), rtol=3e-5, atol=1e-8
+    )
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.count_nonzero(np.asarray(g)) == g.size
+
+
+def test_pallas_path_custom_vjp_sw():
+    from rrtmgp_tpu.models.rrtmgp import differentiable_solve_sw
+    from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables, compute_min_window
+
+    lkp = synthetic_gas_lookup(longwave=False, n_gpt=NGPT, n_bnd=NBND, seed=1, dtype=np.float32)
+    atm = synthetic_atmosphere(ncol=128, nlay=8, dtype=np.float32)
+    bcs = SwBCs(
+        cos_zenith=jnp.full((128,), 0.6, jnp.float32),
+        toa_flux=jnp.full((128,), 1361.0, jnp.float32),
+        sfc_alb_direct=jnp.full((NBND, 128), 0.2, jnp.float32),
+        sfc_alb_diffuse=jnp.full((NBND, 128), 0.2, jnp.float32),
+    )
+    tabs = build_pallas_tables(lkp)
+    win = compute_min_window(lkp, atm, mega=True)
+    f = differentiable_solve_sw(
+        lkp, pallas_tables=tabs, pallas_windowed="force", pallas_window=win
+    )
+    g = jax.jit(
+        jax.grad(
+            lambda t: jnp.sum(
+                f(dataclasses.replace(atm, t_lay=t), bcs).flux_dn[0]
+            )
+        )
+    )(atm.t_lay)
+    g_xla = jax.jit(
+        jax.grad(
+            lambda t: jnp.sum(
+                solve_sw(lkp, dataclasses.replace(atm, t_lay=t), bcs)[0].flux_dn[0]
+            )
+        )
+    )(atm.t_lay)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_xla), rtol=3e-5, atol=1e-8
+    )
+
+
+def test_differentiable_solve_rejects_mcica():
+    from rrtmgp_tpu.models.rrtmgp import differentiable_solve_lw
+
+    with pytest.raises(AssertionError, match="cld_mask"):
+        differentiable_solve_lw(LKP_LW64, cld_mask_seed=jnp.int32(0))
