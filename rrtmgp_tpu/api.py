@@ -551,6 +551,14 @@ class RRTMGPSolver:
     def aod_sw_scattering(self):
         return None if self.diag_sw is None else self.diag_sw.aod_sw_sca
 
+    def get_center_z(self):
+        """Cell-center heights, as provided by the host (ref getters.jl:44)."""
+        return self.center_z
+
+    def get_face_z(self):
+        """Cell-face heights, as provided by the host (ref getters.jl:45)."""
+        return self.face_z
+
     def cos_zenith(self):
         return self.bcs_sw.cos_zenith
 

@@ -367,7 +367,7 @@ def _lw_mega_kernel(
             u_above, m_above, cf_above, started, anyc = carry
             bits = pltpu.prng_random_bits((b_cols, npad))
             # logical shift: the raw bits are signed int32
-            u_i = jax.lax.shift_right_logical(bits, 8).astype(
+            u_i = jax.lax.shift_right_logical(bits, jnp.int32(8)).astype(
                 jnp.float32
             ) * (1.0 / (1 << 24))
             cf_i = cf_ref[l][0:1].T
@@ -787,7 +787,7 @@ def _sw_mega_kernel(
             if gen_mask:
                 bits = pltpu.prng_random_bits((b_cols, npad))
                 # logical shift: the raw bits are signed int32
-                u_i = jax.lax.shift_right_logical(bits, 8).astype(
+                u_i = jax.lax.shift_right_logical(bits, jnp.int32(8)).astype(
                     jnp.float32
                 ) * (1.0 / (1 << 24))
                 cf_i = cf_ref[l][0:1].T  # (B, 1)
@@ -1194,7 +1194,7 @@ def _lw2_mega_kernel(
             u_above, m_above, cf_above, started, anyc = carry
             bits = pltpu.prng_random_bits((b_cols, npad))
             # logical shift: the raw bits are signed int32
-            u_i = jax.lax.shift_right_logical(bits, 8).astype(
+            u_i = jax.lax.shift_right_logical(bits, jnp.int32(8)).astype(
                 jnp.float32
             ) * (1.0 / (1 << 24))
             cf_i = cf_ref[l][0:1].T

@@ -25,7 +25,8 @@ def pytest_collection_modifyitems(config, items):
 def pytest_configure(config):
     import jax
 
-    # f64 must be representable for the f64-dispatch tests (as in tests/)
-    jax.config.update("jax_enable_x64", True)
+    # NOTE: x64 is NOT enabled globally — tracing the (deeply nested) f32
+    # megakernels under enable_x64 exceeds Python's recursion limit. The f64
+    # dispatch test scopes it with jax.experimental.enable_x64().
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -78,6 +78,14 @@ def test_f64_dispatch_matches_xla():
     """pallas_tables + f64 inputs: the dispatch must IGNORE the f32-only
     kernel tier (with a warning) and produce the exact-precision XLA f64
     solve — bitwise — rather than silently degrading precision."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _f64_dispatch_body()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _f64_dispatch_body():
     lkp_lw, lkp_sw, atm, bcs_lw, bcs_sw = _problem(128, np.float64)
     copts = tpu_compiler_options()
     tabs = build_pallas_tables(
@@ -103,3 +111,41 @@ def test_f64_dispatch_matches_xla():
     assert r_t.flux_up.dtype == jnp.float64
     np.testing.assert_array_equal(np.asarray(r_t.flux_up), np.asarray(r_x.flux_up))
     np.testing.assert_array_equal(np.asarray(r_t.flux_dn), np.asarray(r_x.flux_dn))
+
+
+def test_shard_map_megakernel_on_device():
+    """RRTMGPSolver(mesh=...) on the REAL chip: the shard_map + Mosaic
+    composition of the production path (the CPU sharding test runs interpret
+    mode; this compiles the megakernels under shard_map on hardware). A
+    1-device mesh exercises the same partitioning machinery."""
+    import rrtmgp_tpu as rt
+    from rrtmgp_tpu.data.synthetic import synthetic_cloud_lookup
+    from rrtmgp_tpu.parallel.sharding import make_column_mesh, shard_columns
+
+    ncol = 256
+    lkp_lw, lkp_sw, _, bcs_lw, bcs_sw = _problem(ncol, np.float32)
+    lookups = rt.LookupBundle(
+        lookup_lw=lkp_lw, lookup_sw=lkp_sw,
+        lookup_lw_cld=synthetic_cloud_lookup(n_bnd=16, dtype=np.float32),
+        lookup_sw_cld=synthetic_cloud_lookup(n_bnd=14, seed=5, dtype=np.float32),
+    )
+    atm = synthetic_atmosphere(ncol=ncol, nlay=NLAY, dtype=np.float32, with_clouds=True)
+    mesh = make_column_mesh(jax.devices()[:1])
+    atm_s = shard_columns(atm, mesh, ncol)
+    gp = rt.RRTMGPGridParams(nlay=NLAY, ncol=ncol, dtype=jnp.float32)
+    s = rt.RRTMGPSolver(
+        gp, rt.AllSkyRadiation(), rt.RRTMGPParameters(),
+        shard_columns(bcs_lw, mesh, ncol), shard_columns(bcs_sw, mesh, ncol),
+        atm_s, lookups=lookups, mesh=mesh,
+    )
+    flw = s.update_lw_fluxes()
+    fsw = s.update_sw_fluxes()
+    assert bool(jnp.all(jnp.isfinite(flw.flux_up)))
+    assert bool(jnp.all(jnp.isfinite(fsw.flux_up)))
+    # and it must equal the meshless solve bitwise (global-column seeding)
+    s0 = rt.RRTMGPSolver(
+        gp, rt.AllSkyRadiation(), rt.RRTMGPParameters(), bcs_lw, bcs_sw, atm,
+        lookups=lookups,
+    )
+    flw0 = s0.update_lw_fluxes()
+    np.testing.assert_array_equal(np.asarray(flw.flux_up), np.asarray(flw0.flux_up))
