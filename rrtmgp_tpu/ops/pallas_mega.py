@@ -769,6 +769,7 @@ def _sw_mega_kernel(
     b_cols = up_acc.shape[1]
     zeroc = jnp.zeros((b_cols, npad), jnp.float32)
     zero1 = jnp.zeros((b_cols, 1), jnp.float32)
+    mu0_rinv = 1.0 / mu0_safe  # (B, 1): per-element tau/mu0 becomes a multiply
 
     def optics_step(i, carry):
         l = nlay - 1 - i
@@ -828,8 +829,12 @@ def _sw_mega_kernel(
             tau = jnp.where(ma, tau_n, tau)
             g_l = jnp.where(ma, g_new, g_l)
             ssa = jnp.where(ma, ssa_new, ssa)
-        Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps)
-        transd_s[l] = jnp.exp(-tau / mu0_safe)
+        # T0 computed ONCE (it is both the direct-beam layer transmittance
+        # and the _sw_coeffs clamp bound; recomputing the exp+divide per
+        # element was one of the kernel's costlier VPU passes)
+        T0 = jnp.exp(-(tau * mu0_rinv))
+        Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps, T0=T0)
+        transd_s[l] = T0
         rdir_s[l] = Rdir
         tdir_s[l] = Tdir
         rdif_s[l] = Rdif
@@ -866,19 +871,25 @@ def _sw_mega_kernel(
         alb_i, src_i = carry
         Rdif = rdif_s[ilay]
         Tdif = tdif_s[ilay]
+        Tdir = tdir_s[ilay]
         denom = 1.0 / (1.0 - Rdif * alb_i)
+        td = Tdif * denom
         d_above = dirf[ilay + 1]
-        alb_n = Rdif + Tdif * Tdif * alb_i * denom
-        src_n = rdir_s[ilay] * d_above + Tdif * denom * (
-            src_i + alb_i * tdir_s[ilay] * d_above
-        )
+        alb_n = Rdif + Tdif * alb_i * td
+        src_n = rdir_s[ilay] * d_above + td * (src_i + alb_i * Tdir * d_above)
         albedo[ilay + 1] = alb_n
         src[ilay + 1] = src_n
+        # fold denom into the phase-4 operands in place (phase 4 is their
+        # only remaining consumer): saves a divide per element there
+        rdif_s[ilay] = Rdif * denom
+        tdif_s[ilay] = td
+        tdir_s[ilay] = Tdir * denom
         return alb_n, src_n
 
     jax.lax.fori_loop(0, nlay, up_step, (albedo[0], src[0]))
 
-    # phase 4: top-down diffuse flux + spectral reduction
+    # phase 4: top-down diffuse flux + spectral reduction (denom-folded
+    # coefficients from phase 3)
     fd_top = incdif_ref[:]
     up_acc[nlay] = jnp.sum(fd_top * albedo[nlay] + src[nlay], axis=-1)
     dn_acc[nlay] = jnp.sum(fd_top + dirf[nlay], axis=-1)
@@ -887,9 +898,10 @@ def _sw_mega_kernel(
         ilay = nlay - 1 - i
         alb_i = albedo[ilay]
         src_i = src[ilay]
-        Rdif = rdif_s[ilay]
-        denom = 1.0 / (1.0 - Rdif * alb_i)
-        fd = (tdif_s[ilay] * carry + Rdif * src_i + tdir_s[ilay] * dirf[ilay + 1]) * denom
+        fd = (
+            tdif_s[ilay] * carry + rdif_s[ilay] * src_i
+            + tdir_s[ilay] * dirf[ilay + 1]
+        )
         up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
         dn_acc[ilay] = jnp.sum(fd + dirf[ilay], axis=-1)
         return fd
@@ -1244,9 +1256,13 @@ def _lw2_mega_kernel(
 
     def adding(alb_i, src_i, Rdif, Tdif, src_up, src_dn):
         denom = 1.0 / (1.0 - Rdif * alb_i)
-        alb_n = Rdif + Tdif * Tdif * alb_i * denom
-        src_n = src_up + Tdif * denom * (src_i + alb_i * src_dn)
-        return alb_n, src_n
+        td = Tdif * denom
+        alb_n = Rdif + Tdif * alb_i * td
+        src_n = src_up + td * (src_i + alb_i * src_dn)
+        # also return the denom-folded operands the top-down flux recurrence
+        # needs (fd = (Tdif*carry + Rdif*src + src_dn) * denom distributes):
+        # storing them saves the per-element divide in phase 2
+        return alb_n, src_n, Rdif * denom, td, src_dn * denom
 
     def optics_step(l, carry):
         pf_prev, tau_p, ssa_p, g_p, lev_p, alb_c, src_c = carry
@@ -1304,13 +1320,15 @@ def _lw2_mega_kernel(
 
         # complete layer l-1 now that its top level value (lev_val) exists
         Rdif, Tdif, src_up, src_dn = layer_coeffs(tau_p, ssa_p, g_p, lev_p, lev_val)
-        alb_n, src_n = adding(alb_c, src_c, Rdif, Tdif, src_up, src_dn)
+        alb_n, src_n, rd_f, td_f, sd_f = adding(
+            alb_c, src_c, Rdif, Tdif, src_up, src_dn
+        )
 
         @pl.when(l > 0)
         def _store_prev():
-            rdif_s[l - 1] = Rdif
-            tdif_s[l - 1] = Tdif
-            srcdn_s[l - 1] = src_dn
+            rdif_s[l - 1] = rd_f
+            tdif_s[l - 1] = td_f
+            srcdn_s[l - 1] = sd_f
             albedo[l] = alb_n
             src[l] = src_n
 
@@ -1328,10 +1346,10 @@ def _lw2_mega_kernel(
     Rdif, Tdif, src_up, src_dn = layer_coeffs(
         tau_top, ssa_top, g_top, lev_top_prev, lev_top
     )
-    alb_n, src_n = adding(alb_c, src_c, Rdif, Tdif, src_up, src_dn)
-    rdif_s[nlay - 1] = Rdif
-    tdif_s[nlay - 1] = Tdif
-    srcdn_s[nlay - 1] = src_dn
+    alb_n, src_n, rd_f, td_f, sd_f = adding(alb_c, src_c, Rdif, Tdif, src_up, src_dn)
+    rdif_s[nlay - 1] = rd_f
+    tdif_s[nlay - 1] = td_f
+    srcdn_s[nlay - 1] = sd_f
     albedo[nlay] = alb_n
     src[nlay] = src_n
 
@@ -1344,9 +1362,7 @@ def _lw2_mega_kernel(
         ilay = nlay - 1 - i
         alb_i = albedo[ilay]
         src_i = src[ilay]
-        Rdif = rdif_s[ilay]
-        denom = 1.0 / (1.0 - Rdif * alb_i)
-        fd = (tdif_s[ilay] * carry + Rdif * src_i + srcdn_s[ilay]) * denom
+        fd = tdif_s[ilay] * carry + rdif_s[ilay] * src_i + srcdn_s[ilay]
         up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
         dn_acc[ilay] = jnp.sum(fd, axis=-1)
         return fd

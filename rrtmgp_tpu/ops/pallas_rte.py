@@ -39,11 +39,15 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _sw_coeffs(tau, ssa, g, mu0, eps):
+def _sw_coeffs(tau, ssa, g, mu0, eps, T0=None):
     """Zdunkowski PIFM + Meador-Weaver direct R/T with energy clamps.
 
     Identical arithmetic to ops.rte.sw_2stream_coeffs
     (ref shortwave2stream.jl:135-195); runs on the VPU inside the kernel.
+    T0 (the direct transmittance exp(-tau/mu0)) may be passed in when the
+    caller already computed it — the exp+divide is one of the kernel's
+    costlier VPU ops and the SW megakernel needs the same value for its
+    direct-beam scratch.
     """
     k_min = eps ** 0.5
     gamma1 = (8.0 - ssa * (5.0 + 3.0 * g)) * 0.25
@@ -60,7 +64,8 @@ def _sw_coeffs(tau, ssa, g, mu0, eps):
     Rdif = rt * gamma2 * (1.0 - e2ktau)
     Tdif = rt * 2.0 * k * ektau
 
-    T0 = jnp.exp(-tau / jnp.maximum(mu0, eps))
+    if T0 is None:
+        T0 = jnp.exp(-tau / jnp.maximum(mu0, eps))
     k_mu = k * mu0
     k_g3 = k * gamma3
     k_g4 = k * gamma4
