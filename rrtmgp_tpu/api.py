@@ -220,6 +220,7 @@ class RRTMGPSolver:
         aero_species: tuple | None = None,
         mesh=None,
         use_pallas: bool | None = None,
+        metric_scaling=None,
     ):
         self.grid_params = grid_params
         self.radiation_method = radiation_method
@@ -242,6 +243,9 @@ class RRTMGPSolver:
         # None: Pallas kernel path iff running on TPU. True forces the Pallas
         # path off-TPU (interpret mode — slow; for tests/dryruns only).
         self.use_pallas = use_pallas
+        # optional (nlev, ncol) deep-atmosphere metric scaling applied to all
+        # fluxes (ref Fluxes.jl:227-236; solver-arg in RTESolver.jl)
+        self.metric_scaling = metric_scaling
         # "force" (default) trusts the init-computed table window (+1 bucket
         # of margin, see _build_solvers) and enables the single-kernel solves
         # (ops/pallas_mega.py); "auto" adds a runtime invariant check with a
@@ -316,6 +320,7 @@ class RRTMGPSolver:
         lw_aero = lk.lookup_lw_aero if aero else None
         sw_aero = lk.lookup_sw_aero if aero else None
         aspec = self.aero_species
+        mscale = self.metric_scaling
 
         wmode = self.pallas_windowed
 
@@ -356,14 +361,14 @@ class RRTMGPSolver:
             return _solvers.solve_lw(
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
                 pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols,
-                pallas_windowed=wmode, aero_species=aspec,
+                pallas_windowed=wmode, aero_species=aspec, metric_scaling=mscale,
             )
 
         def sw_clear(atm, bcs):
             return _solvers.solve_sw(
                 lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw, lkp_aero=sw_aero,
                 pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols,
-                pallas_windowed=wmode, aero_species=aspec,
+                pallas_windowed=wmode, aero_species=aspec, metric_scaling=mscale,
             )
 
         self._lw_clear = _spmd(lw_clear)
@@ -378,7 +383,7 @@ class RRTMGPSolver:
                     cld_mask_seed=seed, col_offset=col_ids[0],
                     pallas_tables=tabs_lw, pallas_window=win_lw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
-                    aero_species=aspec,
+                    aero_species=aspec, metric_scaling=mscale,
                 )
 
             def sw_cloudy(atm, bcs, seed, col_ids):
@@ -388,7 +393,7 @@ class RRTMGPSolver:
                     cld_mask_seed=seed, col_offset=col_ids[0],
                     pallas_tables=tabs_sw, pallas_window=win_sw,
                     pallas_sweep_cols=scols, pallas_windowed=wmode,
-                    aero_species=aspec,
+                    aero_species=aspec, metric_scaling=mscale,
                 )
 
             self._lw_cloudy = _spmd(lw_cloudy)

@@ -192,3 +192,30 @@ def test_check_window_off_tpu_and_gray():
     # off-TPU the megakernel window is not in play: always valid
     assert s.check_window() is True
     assert s.check_window(dataclasses.replace(s.as_, t_lay=s.as_.t_lay + 50.0)) is True
+
+
+def test_solver_metric_scaling():
+    """RRTMGPSolver(metric_scaling=...) scales all fluxes (ref
+    Fluxes.jl:227-236 via the RTESolver metric_scaling argument); scaling=2
+    doubles the unscaled fluxes exactly."""
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, with_clouds=True, with_aerosols=True)
+    gp = rt.RRTMGPGridParams(nlay=NLAY, ncol=NCOL, dtype=jnp.float64)
+    bcs_lw = rt.LwBCs(sfc_emis=jnp.full((NBND_LW, NCOL), 0.98))
+    bcs_sw = rt.SwBCs(
+        cos_zenith=jnp.full((NCOL,), 0.6),
+        toa_flux=jnp.full((NCOL,), 1361.0),
+        sfc_alb_direct=jnp.full((NBND_SW, NCOL), 0.2),
+        sfc_alb_diffuse=jnp.full((NBND_SW, NCOL), 0.2),
+    )
+    mk = lambda ms: rt.RRTMGPSolver(
+        gp, rt.ClearSkyRadiation(True), PARAMS, bcs_lw, bcs_sw, atm,
+        lookups=LOOKUPS, metric_scaling=ms,
+    )
+    s1 = mk(None)
+    s2 = mk(jnp.full((NLAY + 1, NCOL), 2.0))
+    f1 = s1.update_lw_fluxes()
+    f2 = s2.update_lw_fluxes()
+    np.testing.assert_allclose(2.0 * np.asarray(f1.flux_up), np.asarray(f2.flux_up), rtol=1e-15)
+    g1 = s1.update_sw_fluxes()
+    g2 = s2.update_sw_fluxes()
+    np.testing.assert_allclose(2.0 * np.asarray(g1.flux_dn), np.asarray(g2.flux_dn), rtol=1e-15)
