@@ -328,8 +328,7 @@ def _lw_mega_kernel(
     up_ref, dn_ref = args[idx : idx + 2]; idx += 2
     if gen_mask:
         cover_ref = args[idx]; idx += 1            # (B, 8)
-        mask_s = args[idx]; idx += 1               # scratch (nlay, B, G) f32
-    kilv_tab, trans_s, sdn_s, sup_s, sfc_s, up_acc, dn_acc, sem = args[idx : idx + 8]
+    kilv_tab, trans_s, sup_s, up_acc, dn_acc, sem = args[idx : idx + 6]
 
     @pl.when(pl.program_id(0) == 0)
     def _load_table():
@@ -353,57 +352,30 @@ def _lw_mega_kernel(
 
     b_cols = up_acc.shape[1]
 
-    # mask pre-pass: the McICA max-random-overlap recurrence runs TOP-DOWN
-    # while the optics loop ascends, so the per-layer mask is sampled into
-    # VMEM scratch first (TPU PRNG, counter-based seed x block; identical to
-    # the lw2/sw megakernels and ref cloud_optics.jl:222-261)
+    # phase 1 runs TOP-DOWN (descending layers), which is ALSO (a) the McICA
+    # max-random-overlap draw order (ref cloud_optics.jl:222-261) — the mask
+    # samples INLINE from the TPU PRNG, bitwise-identical to the lw2/sw
+    # megakernels' streams — and (b) the downward-radiance direction, so the
+    # down sweep rides the carry one step delayed (layer l+1's Clough source
+    # needs level l+1's Planck value = geometric mean of BOTH adjacent
+    # pfracs, which completes when layer l's pfrac lands; ref
+    # Optics.jl:228-248, longwave1scalar.jl:149-212). Only the upward sweep
+    # needs a second pass over (trans, src_up) scratch.
     if gen_mask:
         pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
-        zc = jnp.zeros((b_cols, npad), jnp.float32)
-        z1 = jnp.zeros((b_cols, 1), jnp.float32)
 
-        def mask_step(i, carry):
-            l = nlay - 1 - i
-            u_above, m_above, cf_above, started, anyc = carry
-            bits = pltpu.prng_random_bits((b_cols, npad))
-            # logical shift: the raw bits are signed int32
-            u_i = jax.lax.shift_right_logical(bits, jnp.int32(8)).astype(
-                jnp.float32
-            ) * (1.0 / (1 << 24))
-            cf_i = cf_ref[l][0:1].T
-            u_eff = jnp.where(
-                started > 0.0,
-                jnp.where(m_above > 0.0, u_above, u_i * (1.0 - cf_above)),
-                u_i,
-            )
-            cloudy = cf_i > 0.0
-            m_f = jnp.logical_and(cloudy, u_eff >= (1.0 - cf_i)).astype(jnp.float32)
-            mask_s[l] = m_f
-            return (
-                u_eff, m_f, cf_i,
-                jnp.maximum(started, cloudy.astype(jnp.float32)),
-                jnp.maximum(anyc, m_f),
-            )
-
-        carry_out = jax.lax.fori_loop(0, nlay, mask_step, (zc, zc, z1, z1, zc))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b_cols, npad), 1)
-        cover = jnp.sum(
-            jnp.where(lane < n_gpt, carry_out[4], 0.0), axis=-1, keepdims=True
-        ) * (1.0 / n_gpt)
-        cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
-
-    # phase 1: per-layer gas optics -> transmittance + the Clough linear-in-
-    # tau sources for BOTH sweep directions, finished in VMEM scratch. The
-    # previous layer's (pfrac, trans, fact, lay_val) ride the fori carry so
-    # each level value sqrt(pfrac_below*pfrac_above) and the one-step-delayed
-    # upward source need no second pass (ref Optics.jl:228-248,
-    # longwave1scalar.jl:149-212). The sweep phase is then a pure
-    # multiply-add recurrence.
     def clough(trans, fact, lay_val, lev_val):
         return (1.0 - trans) * lev_val + 2.0 * fact * (lay_val - lev_val)
 
-    def optics_step(l, carry):
-        pf_prev, trans_prev, fact_prev, lay_prev = carry
+    zero = jnp.zeros((b_cols, npad), jnp.float32)
+    zero1 = jnp.zeros((b_cols, 1), jnp.float32)
+    i_dn_top = inc_ref[:] * f2i
+
+    def optics_step(i, carry):
+        l = nlay - 1 - i
+        pf_above, trans_above, fact_above, lay_above, i_dn = carry[:5]
+        if gen_mask:
+            u_above, m_above, cf_above, started, anyc = carry[5:]
         tau, pf = _optics_phase(
             l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
             kilv_tab, mk_stack, mk_proj, None,
@@ -414,11 +386,35 @@ def _lw_mega_kernel(
         # no-scat composition is absorption-only: tau += tau_x * (1 - ssa_x)
         # under the McICA/active mask (ref cloud_optics.jl:1-49,
         # aerosol_optics.jl 1-scalar add)
+        mc = ()
         if has_cloud:
             tc = expand(ctau_ref[l].T)
             sc = expand(cssa_ref[l].T)
-            m = mask_s[l] > 0.0 if gen_mask else mask_ref[l] != 0
+            if gen_mask:
+                bits = pltpu.prng_random_bits((b_cols, npad))
+                # logical shift: the raw bits are signed int32
+                u_i = jax.lax.shift_right_logical(bits, jnp.int32(8)).astype(
+                    jnp.float32
+                ) * (1.0 / (1 << 24))
+                cf_i = cf_ref[l][0:1].T
+                u_eff = jnp.where(
+                    started > 0.0,
+                    jnp.where(m_above > 0.0, u_above, u_i * (1.0 - cf_above)),
+                    u_i,
+                )
+                cloudy = cf_i > 0.0
+                m = jnp.logical_and(cloudy, u_eff >= (1.0 - cf_i))
+                m_f = m.astype(jnp.float32)
+                mc = (
+                    u_eff, m_f, cf_i,
+                    jnp.maximum(started, cloudy.astype(jnp.float32)),
+                    jnp.maximum(anyc, m_f),
+                )
+            else:
+                m = mask_ref[l] != 0
             tau = jnp.where(m, tau + tc * (1.0 - sc), tau)
+        elif gen_mask:
+            mc = carry[5:]
         if has_aero:
             ta = expand(atau_ref[l].T)
             sa = expand(assa_ref[l].T)
@@ -433,43 +429,42 @@ def _lw_mega_kernel(
             tau_loc * (0.5 + tau_loc * (-1.0 / 3.0 + tau_loc * 0.125)),
         )
         lay_val = expand(plkl_ref[l].T) * pf
-        # level l value: geometric mean of adjacent pfracs (l=0: pf_prev=pf)
-        pf_lo = jnp.where(l > 0, pf_prev, pf)
-        lev_val = expand(plke_ref[l].T) * jnp.sqrt(pf_lo * pf)
+        # level l+1 value: geometric mean of adjacent pfracs; at the top the
+        # neighbor pfrac is clamped to the layer's own (exact, no sqrt)
+        lev_above = expand(plke_ref[l + 1].T) * jnp.where(
+            l < nlay - 1, jnp.sqrt(pf * pf_above), pf
+        )
         trans_s[l] = trans
-        sdn_s[l] = clough(trans, fact, lay_val, lev_val)
+        sup_s[l] = clough(trans, fact, lay_val, lev_above)
+        # downward radiance crosses layer l+1 now that its bottom level value
+        # exists; at the top step the where keeps the TOA incident radiance
+        sdn_above = clough(trans_above, fact_above, lay_above, lev_above)
+        i_dn_new = jnp.where(
+            l < nlay - 1, trans_above * i_dn + sdn_above, i_dn
+        )
+        dn_acc[l + 1] = jnp.sum(i_dn_new, axis=-1) * i2f
+        return (pf, trans, fact, lay_val, i_dn_new) + mc
 
-        @pl.when(l > 0)
-        def _sup_prev():
-            sup_s[l - 1] = clough(trans_prev, fact_prev, lay_prev, lev_val)
+    init = (zero, zero, zero, zero, i_dn_top)
+    if gen_mask:
+        init = init + (zero, zero, zero1, zero1, zero)
+    carry_out = jax.lax.fori_loop(0, nlay, optics_step, init)
+    pf0, trans0, fact0, lay0, i_dn1 = carry_out[:5]
+    if gen_mask:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_cols, npad), 1)
+        cover = jnp.sum(
+            jnp.where(lane < n_gpt, carry_out[9], 0.0), axis=-1, keepdims=True
+        ) * (1.0 / n_gpt)
+        cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
 
-        @pl.when(l == 0)
-        def _sfc():
-            sfc_s[0] = expand(plks_ref[:].T) * pf
-
-        return pf, trans, fact, lay_val
-
-    zero = jnp.zeros((b_cols, npad), jnp.float32)
-    pf_top, trans_top, fact_top, lay_top = jax.lax.fori_loop(
-        0, nlay, optics_step, (zero, zero, zero, zero)
-    )
-    lev_top = expand(plke_ref[nlay].T) * pf_top
-    sup_s[nlay - 1] = clough(trans_top, fact_top, lay_top, lev_top)
-
-    # phase 2: LW no-scat sweep — pure recurrences over finished scratch
-    i_dn_top = inc_ref[:] * f2i
-    dn_acc[nlay] = jnp.sum(i_dn_top, axis=-1) * i2f
-
-    def down_step(i, carry):
-        ilay = nlay - 1 - i
-        i_dn = trans_s[ilay] * carry + sdn_s[ilay]
-        dn_acc[ilay] = jnp.sum(i_dn, axis=-1) * i2f
-        return i_dn
-
-    i_dn_sfc = jax.lax.fori_loop(0, nlay, down_step, i_dn_top)
+    # epilogue: cross layer 0 (level 0 value clamps the neighbor pfrac to the
+    # layer's own), then the surface reflection/emission boundary
+    lev0 = expand(plke_ref[0].T) * pf0
+    i_dn_sfc = trans0 * i_dn1 + clough(trans0, fact0, lay0, lev0)
+    dn_acc[0] = jnp.sum(i_dn_sfc, axis=-1) * i2f
 
     emis = expand(emis_ref[:].T)
-    i_up = i_dn_sfc * (1.0 - emis) + emis * sfc_s[0]
+    i_up = i_dn_sfc * (1.0 - emis) + emis * (expand(plks_ref[:].T) * pf0)
     up_acc[0] = jnp.sum(i_up, axis=-1) * i2f
 
     def up_step(ilay, carry):
@@ -647,13 +642,10 @@ def lw_clear_mega(
             (pl.BlockSpec((block_cols, 8), lambda c, *_: (c, 0), memory_space=pltpu.VMEM),)
             if gen_mask else ()
         ),
-        scratch_shapes=([pltpu.VMEM((nlay, block_cols, gp), jnp.float32)] if gen_mask else [])
-        + [
+        scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # trans
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src down
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src up
-            pltpu.VMEM((1, block_cols, gp), jnp.float32),      # sfc source
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
@@ -737,8 +729,8 @@ def _sw_mega_kernel(
     up_ref, dn_ref, dir_ref = args[idx : idx + 3]; idx += 3
     if gen_mask:
         cover_ref = args[idx]; idx += 1           # (B, 8) McICA cloud cover
-    (kilv_tab, transd_s, rdir_s, tdir_s, rdif_s, tdif_s,
-     dirf, albedo, src, up_acc, dn_acc, sem) = args[idx : idx + 12]
+    (kilv_tab, rdir_s, tdir_s, rdif_s, tdif_s,
+     albedo, src, up_acc, dn_acc, dir_acc, sem) = args[idx : idx + 11]
 
     @pl.when(pl.program_id(0) == 0)
     def _load_table():
@@ -770,10 +762,15 @@ def _sw_mega_kernel(
     zeroc = jnp.zeros((b_cols, npad), jnp.float32)
     zero1 = jnp.zeros((b_cols, 1), jnp.float32)
     mu0_rinv = 1.0 / mu0_safe  # (B, 1): per-element tau/mu0 becomes a multiply
+    # the optics loop runs TOP-DOWN, which is also the direct-beam direction:
+    # the beam rides the carry, eliminating a transmittance scratch and a
+    # separate whole-(nlay, B, G) direct pass
+    dir_top = toa_ref[:] * mu0
+    dir_acc[nlay] = jnp.sum(dir_top, axis=-1)
 
     def optics_step(i, carry):
         l = nlay - 1 - i
-        u_above, m_above, cf_above, started, anyc = carry
+        u_above, m_above, cf_above, started, anyc, d_beam = carry
         tau, ssa = _optics_phase(
             l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
             kilv_tab, mk_stack, mk_proj, ray_tab,
@@ -804,6 +801,7 @@ def _sw_mega_kernel(
                     u_eff, m_f, cf_i,
                     jnp.maximum(started, (cf_i > 0.0).astype(jnp.float32)),
                     jnp.maximum(anyc, m_f),
+                    d_beam,
                 )
             else:
                 m = mask_ref[l] != 0
@@ -829,19 +827,23 @@ def _sw_mega_kernel(
             tau = jnp.where(ma, tau_n, tau)
             g_l = jnp.where(ma, g_new, g_l)
             ssa = jnp.where(ma, ssa_new, ssa)
-        # T0 computed ONCE (it is both the direct-beam layer transmittance
-        # and the _sw_coeffs clamp bound; recomputing the exp+divide per
-        # element was one of the kernel's costlier VPU passes)
+        # T0 computed ONCE: it is the direct-beam layer transmittance, the
+        # _sw_coeffs clamp bound, AND the beam-carry update
         T0 = jnp.exp(-(tau * mu0_rinv))
         Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps, T0=T0)
-        transd_s[l] = T0
-        rdir_s[l] = Rdir
-        tdir_s[l] = Tdir
+        d_new = d_beam * T0
+        dir_acc[l] = jnp.sum(d_new, axis=-1)
+        # store the direct-source coefficients PRE-MULTIPLIED by the beam
+        # above this layer: phases 3/4 then never touch a (nlev, B, G)
+        # direct-flux tensor — it exists only as the loop carry + the
+        # per-level reduced dir_acc
+        rdir_s[l] = Rdir * d_beam
+        tdir_s[l] = Tdir * d_beam
         rdif_s[l] = Rdif
         tdif_s[l] = Tdif
-        return carry
+        return carry[:5] + (d_new,)
 
-    init = (zeroc, zeroc, zero1, zero1, zeroc)
+    init = (zeroc, zeroc, zero1, zero1, zeroc, dir_top)
     carry_out = jax.lax.fori_loop(0, nlay, optics_step, init)
     if gen_mask:
         anyc = carry_out[4]
@@ -851,39 +853,28 @@ def _sw_mega_kernel(
         ) * (1.0 / n_gpt)
         cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
 
-    # phase 2: direct beam TOA -> surface (pure multiplies)
-    dir_top = toa_ref[:] * mu0
-    dirf[nlay] = dir_top
-
-    def dir_step(i, carry):
-        ilay = nlay - 1 - i
-        d = carry * transd_s[ilay]
-        dirf[ilay] = d
-        return d
-
-    jax.lax.fori_loop(0, nlay, dir_step, dir_top)
-
-    # phase 3: bottom-up albedo/src
+    # phase 3: bottom-up albedo/src (beam-premultiplied direct sources from
+    # phase 1; the surface beam arrives on the loop carry)
+    d_sfc = carry_out[5]
     albedo[0] = expand(adif_ref[:].T)
-    src[0] = dirf[0] * expand(adir_ref[:].T)
+    src[0] = d_sfc * expand(adir_ref[:].T)
 
     def up_step(ilay, carry):
         alb_i, src_i = carry
         Rdif = rdif_s[ilay]
         Tdif = tdif_s[ilay]
-        Tdir = tdir_s[ilay]
+        tdird = tdir_s[ilay]  # Tdir * beam-above
         denom = 1.0 / (1.0 - Rdif * alb_i)
         td = Tdif * denom
-        d_above = dirf[ilay + 1]
         alb_n = Rdif + Tdif * alb_i * td
-        src_n = rdir_s[ilay] * d_above + td * (src_i + alb_i * Tdir * d_above)
+        src_n = rdir_s[ilay] + td * (src_i + alb_i * tdird)
         albedo[ilay + 1] = alb_n
         src[ilay + 1] = src_n
         # fold denom into the phase-4 operands in place (phase 4 is their
         # only remaining consumer): saves a divide per element there
         rdif_s[ilay] = Rdif * denom
         tdif_s[ilay] = td
-        tdir_s[ilay] = Tdir * denom
+        tdir_s[ilay] = tdird * denom
         return alb_n, src_n
 
     jax.lax.fori_loop(0, nlay, up_step, (albedo[0], src[0]))
@@ -892,24 +883,23 @@ def _sw_mega_kernel(
     # coefficients from phase 3)
     fd_top = incdif_ref[:]
     up_acc[nlay] = jnp.sum(fd_top * albedo[nlay] + src[nlay], axis=-1)
-    dn_acc[nlay] = jnp.sum(fd_top + dirf[nlay], axis=-1)
+    # diffuse-down + the ALREADY-REDUCED direct beam: phase 4 never touches
+    # the (nlev, B, G) dirf scratch (the per-level spectral sum distributes)
+    dn_acc[nlay] = jnp.sum(fd_top, axis=-1) + dir_acc[nlay]
 
     def down_step(i, carry):
         ilay = nlay - 1 - i
         alb_i = albedo[ilay]
         src_i = src[ilay]
-        fd = (
-            tdif_s[ilay] * carry + rdif_s[ilay] * src_i
-            + tdir_s[ilay] * dirf[ilay + 1]
-        )
+        fd = tdif_s[ilay] * carry + rdif_s[ilay] * src_i + tdir_s[ilay]
         up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
-        dn_acc[ilay] = jnp.sum(fd + dirf[ilay], axis=-1)
+        dn_acc[ilay] = jnp.sum(fd, axis=-1) + dir_acc[ilay]
         return fd
 
     jax.lax.fori_loop(0, nlay, down_step, fd_top)
     up_ref[:] = up_acc[:].T
     dn_ref[:] = dn_acc[:].T
-    dir_ref[:] = jnp.sum(dirf[:], axis=-1).T
+    dir_ref[:] = dir_acc[:].T
 
 
 @functools.partial(
@@ -1076,16 +1066,15 @@ def sw_clear_mega(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # direct trans
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdir
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdir
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdif
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdif
-            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # dirf
             pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # albedo
             pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # src
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
+            pltpu.VMEM((nlev, block_cols), jnp.float32),       # dir reduced
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
