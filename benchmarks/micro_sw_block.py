@@ -27,7 +27,9 @@ def timeit(fn, *args, n=10):
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # block_until_ready alone can return early through the axon tunnel
+    # (CLAUDE.md); a host readback of a real output pins the clock.
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     return (time.perf_counter() - t0) / n
 
 
@@ -49,7 +51,7 @@ def main():
     from rrtmgp_tpu.ops.pallas_interp import rows_per_slab
     from rrtmgp_tpu.ops.pallas_mega import lw_clear_mega, sw_clear_mega
     from rrtmgp_tpu.utils.compile import tpu_compiler_options
-    from rrtmgp_tpu.angular import gauss_jacobi_5
+    from rrtmgp_tpu.angular import angular_discretization
 
     dtype = np.float32
     lkp_lw = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=dtype)
@@ -65,7 +67,7 @@ def main():
     toa_gpt = jnp.full((NCOL,), 1361.0)[:, None] * lkp_sw.solar_src_scaled[None, :]
     alb = jnp.full((14, NCOL), 0.2, jnp.float32)
     emis = jnp.full((16, NCOL), 0.98, jnp.float32)
-    Ds, wts = gauss_jacobi_5(1)
+    Ds, wts = angular_discretization(1)
 
     def run_sw(block):
         window = min(win_sw, tabs_sw.fused_ilv.shape[0])
@@ -97,7 +99,7 @@ def main():
     def run_lw(block):
         window = min(win_lw, tabs_lw.fused_ilv.shape[0])
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups, offs
-         ) = mega_lw_inputs(lkp_lw, tabs_lw, atm, window, block)
+         ) = mega_lw_inputs(lkp_lw, tabs_lw, atm, window)
 
         def f(pack3, eta3, plk_lay, plk_lev, plk_sfc, emis):
             return lw_clear_mega(

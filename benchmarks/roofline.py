@@ -76,7 +76,7 @@ def main() -> None:
     # materialized megakernel operands (built by the XLA prologue each step:
     # written once + read once by the kernel => 2x traffic)
     mega_in_lw = jax.eval_shape(
-        lambda a: mega_lw_inputs(lkp_lw, tabs_lw, a, win_lw, 128), atm
+        lambda a: mega_lw_inputs(lkp_lw, tabs_lw, a, win_lw), atm
     )
     mega_in_sw = jax.eval_shape(
         lambda a: mega_sw_inputs(lkp_sw, tabs_sw, a, win_sw), atm

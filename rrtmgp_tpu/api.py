@@ -215,6 +215,7 @@ class RRTMGPSolver:
         face_z=None,
         two_stream_lw: bool = True,
         two_stream_sw: bool = True,
+        n_gauss_angles: int = 1,
         data_dir: str | None = None,
         pallas_windowed: str = "force",
         aero_species: tuple | None = None,
@@ -232,6 +233,12 @@ class RRTMGPSolver:
         self.face_z = face_z
         self.two_stream_lw = two_stream_lw
         self.two_stream_sw = two_stream_sw
+        # LW no-scat Gauss-Jacobi-5 quadrature order (1-4); the reference
+        # carries AngularDiscretization in its solver container
+        # (/root/reference/src/optics/RTE.jl:61-70) but runs angle 1; here
+        # n_gauss_angles > 1 sums the no-scat sweep over the quadrature.
+        # Ignored by two-stream LW and by SW (as in the reference).
+        self.n_gauss_angles = n_gauss_angles
         # Multi-chip: a 1-D jax.sharding.Mesh over the column axis
         # (parallel.sharding.make_column_mesh). The solves are shard_mapped —
         # each device runs the SAME kernels (incl. the Pallas megakernels) on
@@ -282,7 +289,9 @@ class RRTMGPSolver:
 
         if gray:
             self._lw_fn = jax.jit(
-                partial(solve_gray_lw, params=self.params, two_stream=self.two_stream_lw)
+                partial(solve_gray_lw, params=self.params,
+                        two_stream=self.two_stream_lw,
+                        n_gauss_angles=self.n_gauss_angles)
             )
             self._sw_fn = jax.jit(partial(solve_gray_sw, two_stream=self.two_stream_sw))
             return
@@ -357,9 +366,12 @@ class RRTMGPSolver:
                 fn = shard_solve(fn, mesh, ncol0)
             return jax.jit(_col_aligned(fn), compiler_options=copts)
 
+        nga = self.n_gauss_angles
+
         def lw_clear(atm, bcs):
             return _solvers.solve_lw(
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
+                n_gauss_angles=nga,
                 pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols,
                 pallas_windowed=wmode, aero_species=aspec, metric_scaling=mscale,
             )
@@ -379,6 +391,7 @@ class RRTMGPSolver:
             def lw_cloudy(atm, bcs, seed, col_ids):
                 return _solvers.solve_lw(
                     lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw,
+                    n_gauss_angles=nga,
                     lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero,
                     cld_mask_seed=seed, col_offset=col_ids[0],
                     pallas_tables=tabs_lw, pallas_window=win_lw,

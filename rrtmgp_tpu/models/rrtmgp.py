@@ -361,6 +361,10 @@ def solve_lw(
         pallas_tables is not None and pallas_rte
         and dtype == jnp.float32 and pallas_windowed == "force"
         and as_.ncol % 128 == 0
+        # the megakernels bake a single propagation angle into the fused
+        # sweep; n_gauss_angles > 1 (no-scat only) takes the two-kernel path
+        # and re-runs the sweep per angle
+        and (two_stream or n_gauss_angles == 1)
     )
     # in-kernel McICA needs the TPU PRNG; off-TPU (interpret mode) the seed
     # materializes a threefry mask instead
@@ -387,7 +391,7 @@ def solve_lw(
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         (q_base, pack3, eta3, _, plk_lev, plk_sfc, groups_static,
          scal_offs) = mega_lw_inputs(
-            lkp, pallas_tables, as_, window, 128, need_lay=False
+            lkp, pallas_tables, as_, window, need_lay=False
         )
         cld_b3 = None
         gen = lkp_cld is not None and cld_mask is None
@@ -439,7 +443,7 @@ def solve_lw(
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
-         scal_offs) = mega_lw_inputs(lkp, pallas_tables, as_, window, mega_block)
+         scal_offs) = mega_lw_inputs(lkp, pallas_tables, as_, window)
         cld_b3 = None
         gen = lkp_cld is not None and cld_mask is None
         if lkp_cld is not None:
@@ -541,13 +545,34 @@ def solve_lw(
         )
 
     inc = bcs.inc_flux
+
+    def _noscat_angles(one_angle):
+        """Sum the single-angle no-scat transport over quadrature angles.
+
+        Gauss-Jacobi-5 weights sum to 1 (angular.py), so the optional TOA
+        incident flux splits by weight: every angle then sees the same
+        isotropic intensity inc/pi. The reference carries the quadrature in
+        its solver container but runs angle 1 only
+        (/root/reference/src/optics/AngularDiscretizations.jl:32-54,
+         src/rte/longwave1scalar.jl:14-15); multi-angle summation is this
+        framework's completion of that contract."""
+        up = dn = None
+        for k in range(n_gauss_angles):
+            inc_k = None if inc is None else inc * dtype.type(wts[k])
+            up_k, dn_k = one_angle(float(Ds[k]), float(wts[k]), inc_k)
+            up = up_k if up is None else up + up_k
+            dn = dn_k if dn is None else dn + dn_k
+        return up, dn
+
     if raw is not None:
         from ..ops.pallas_rte import lw_noscat_banded_reduced
 
-        flux_up, flux_dn = lw_noscat_banded_reduced(
-            tau, raw.pfrac, raw.plk_lay, raw.plk_lev, raw.plk_sfc,
-            bcs.sfc_emis.T.astype(jnp.float32), float(Ds[0]), float(wts[0]),
-            lkp.bnd_lims_gpt, inc, block_cols=pallas_sweep_cols,
+        flux_up, flux_dn = _noscat_angles(
+            lambda ds, w, inc_k: lw_noscat_banded_reduced(
+                tau, raw.pfrac, raw.plk_lay, raw.plk_lev, raw.plk_sfc,
+                bcs.sfc_emis.T.astype(jnp.float32), ds, w,
+                lkp.bnd_lims_gpt, inc_k, block_cols=pallas_sweep_cols,
+            )
         )
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
         flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)
@@ -580,18 +605,22 @@ def solve_lw(
     elif pallas_rte:
         from ..ops.pallas_rte import lw_noscat_pallas_reduced
 
-        flux_up, flux_dn = lw_noscat_pallas_reduced(
-            tau, optics.sources.lay_source, optics.sources.lev_source,
-            optics.sources.sfc_source, sfc_emis, float(Ds[0]), float(wts[0]), inc,
-            block_cols=min(pallas_sweep_cols, 64),
+        flux_up, flux_dn = _noscat_angles(
+            lambda ds, w, inc_k: lw_noscat_pallas_reduced(
+                tau, optics.sources.lay_source, optics.sources.lev_source,
+                optics.sources.sfc_source, sfc_emis, ds, w, inc_k,
+                block_cols=min(pallas_sweep_cols, 64),
+            )
         )
     else:
-        up, dn = rte.lw_noscat(
-            tau, optics.sources.lay_source, optics.sources.lev_source,
-            optics.sources.sfc_source, sfc_emis, float(Ds[0]), float(wts[0]), inc,
-        )
-        flux_up = jnp.sum(up, axis=-1)
-        flux_dn = jnp.sum(dn, axis=-1)
+        def _one_angle_xla(ds, w, inc_k):
+            up, dn = rte.lw_noscat(
+                tau, optics.sources.lay_source, optics.sources.lev_source,
+                optics.sources.sfc_source, sfc_emis, ds, w, inc_k,
+            )
+            return jnp.sum(up, axis=-1), jnp.sum(dn, axis=-1)
+
+        flux_up, flux_dn = _noscat_angles(_one_angle_xla)
 
     flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
     flux = _poison_unless(_apply_metric_scaling(flux, metric_scaling), win_ok)

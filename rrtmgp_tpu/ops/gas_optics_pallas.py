@@ -665,7 +665,7 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac, need_lay=True):
 
 def mega_lw_inputs(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
-    block: int = 128, need_lay: bool = True,
+    need_lay: bool = True,
 ):
     """Inputs for ops.pallas_mega.lw_clear_mega: pack/eta operands in
     layer-leading layout, band-leading Planck values, static minor metadata.
@@ -714,10 +714,12 @@ def mega_lw_inputs(
 
 def mega_sw_inputs(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
-    block: int = 128,
 ):
-    """Inputs for ops.pallas_mega.sw_clear_mega (see mega_lw_inputs)."""
-    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    """Inputs for ops.pallas_mega.sw_clear_mega (see mega_lw_inputs).
+
+    Input prep is block-size independent: ncol must be a multiple of 128
+    (the minimum mega block), which any larger block divides."""
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, 128)
     assert ncol == ncol_pad, (ncol, ncol_pad)
     nlay = as_.nlay
     pack_t, eta_ops, groups_static, scal_offs = _build_pack(

@@ -219,3 +219,47 @@ def test_solver_metric_scaling():
     g1 = s1.update_sw_fluxes()
     g2 = s2.update_sw_fluxes()
     np.testing.assert_allclose(2.0 * np.asarray(g1.flux_dn), np.asarray(g2.flux_dn), rtol=1e-15)
+
+
+def test_n_gauss_angles_lw_noscat():
+    """RRTMGPSolver(n_gauss_angles=...) threads the Gauss-Jacobi-5 quadrature
+    order into the LW no-scat solve (ref carries AngularDiscretization in the
+    solver container, /root/reference/src/optics/RTE.jl:61-70, table
+    src/optics/AngularDiscretizations.jl:32-54). Two angles must change the
+    fluxes plausibly (small, finite, same-sign magnitudes) vs one angle."""
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY)
+    gp = rt.RRTMGPGridParams(nlay=NLAY, ncol=NCOL, dtype=jnp.float64)
+    bcs_lw = rt.LwBCs(sfc_emis=jnp.full((NBND_LW, NCOL), 0.98))
+    mk = lambda n: rt.RRTMGPSolver(
+        gp, rt.ClearSkyRadiation(False), PARAMS, bcs_lw, None, atm,
+        lookups=LOOKUPS, two_stream_lw=False, n_gauss_angles=n,
+    )
+    ups = {}
+    for n in (1, 2, 3):
+        s = mk(n)
+        f = s.update_lw_fluxes()
+        up = np.asarray(f.flux_up)
+        assert np.all(np.isfinite(up)) and np.all(up > 0.0)
+        ups[n] = up
+    # more angles refine the hemispheric integral: changed, but by a
+    # fraction of the flux, and the 2->3 refinement is smaller than 1->2
+    d12 = np.max(np.abs(ups[2] - ups[1]))
+    d23 = np.max(np.abs(ups[3] - ups[2]))
+    assert 0.0 < d12 < 0.1 * np.max(ups[1])
+    assert d23 < d12
+
+
+def test_n_gauss_angles_inc_flux_split():
+    """With a TOA incident flux, the angle-weight split must conserve the
+    prescribed TOA downward flux exactly for any quadrature order."""
+    from rrtmgp_tpu.models.rrtmgp import solve_lw
+
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY)
+    inc = jnp.full((NCOL, LOOKUPS.lookup_lw.n_gpt), 0.5)
+    for n in (1, 2, 4):
+        bcs = rt.LwBCs(sfc_emis=jnp.full((NBND_LW, NCOL), 0.98), inc_flux=inc)
+        flux, _ = solve_lw(LOOKUPS.lookup_lw, atm, bcs, two_stream=False,
+                           n_gauss_angles=n)
+        toa_dn = np.asarray(flux.flux_dn)[-1]
+        np.testing.assert_allclose(toa_dn, 0.5 * LOOKUPS.lookup_lw.n_gpt,
+                                   rtol=1e-12)
