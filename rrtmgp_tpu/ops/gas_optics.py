@@ -142,9 +142,16 @@ def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
         col_mix = vmr1 + eta_half * vmr2
         eta = jnp.where(col_mix > 0.0, vmr1 / jnp.where(col_mix > 0.0, col_mix, 1.0), 0.5)
         loc_eta = eta * (n_eta - 1)
-        trunc = jnp.floor(loc_eta)
-        jeta = jnp.minimum(trunc, n_eta - 2).astype(jnp.int32)
-        feta = loc_eta - trunc
+        jeta_f = jnp.minimum(jnp.floor(loc_eta), n_eta - 2)
+        jeta = jeta_f.astype(jnp.int32)
+        # frac against the CLAMPED index: at eta == 1 exactly (vanishing
+        # second key species) this reads node n_eta-1 with weight 1, keeping
+        # the interpolation continuous. The reference computes the frac
+        # against the unclamped trunc (gas_optics.jl:134-136), which jumps a
+        # full eta cell at exact grid nodes and makes f32 vs f64 diverge by
+        # O(cell) whenever rounding lands on/off the node — a deliberate,
+        # strictly-continuous divergence (identical everywhere off-node).
+        feta = loc_eta - jeta_f
         outs.append((jeta, feta, col_mix))
     (j1, f1, c1), (j2, f2, c2) = outs
     return EtaInterp(j1, f1, j2, f2, c1, c2)
@@ -195,9 +202,16 @@ def compute_eta_interp_bl(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
         col_mix = vmr1 + eta_half * vmr2
         eta = jnp.where(col_mix > 0.0, vmr1 / jnp.where(col_mix > 0.0, col_mix, 1.0), 0.5)
         loc_eta = eta * (n_eta - 1)
-        trunc = jnp.floor(loc_eta)
-        jeta = jnp.minimum(trunc, n_eta - 2).astype(jnp.int32)
-        feta = loc_eta - trunc
+        jeta_f = jnp.minimum(jnp.floor(loc_eta), n_eta - 2)
+        jeta = jeta_f.astype(jnp.int32)
+        # frac against the CLAMPED index: at eta == 1 exactly (vanishing
+        # second key species) this reads node n_eta-1 with weight 1, keeping
+        # the interpolation continuous. The reference computes the frac
+        # against the unclamped trunc (gas_optics.jl:134-136), which jumps a
+        # full eta cell at exact grid nodes and makes f32 vs f64 diverge by
+        # O(cell) whenever rounding lands on/off the node — a deliberate,
+        # strictly-continuous divergence (identical everywhere off-node).
+        feta = loc_eta - jeta_f
         outs.append((jeta, feta, col_mix))
     (j1, f1, c1), (j2, f2, c2) = outs
     return EtaInterp(j1, f1, j2, f2, c1, c2)

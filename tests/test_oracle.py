@@ -99,9 +99,11 @@ def _eta_index(lkp, tabs, atm, b, jt, lower, l, c):
     eta = vmr1 / (vmr1 + eta_half * vmr2), with eta_half the key-species
     reference-VMR ratio at that temperature node; col_mix = vmr1 +
     eta_half * vmr2 scales the corresponding temperature half of the major
-    interpolation. eta fraction convention: f = loc - floor(loc) with the
-    INDEX clamped to n_eta-2 — at eta exactly 1 the value comes entirely
-    from node n_eta-2 (reference gas_optics.jl:123-150 semantics).
+    interpolation. eta fraction convention: f = loc - CLAMPED index — at
+    eta exactly 1 the value comes entirely from node n_eta-1, keeping the
+    interpolation continuous (deliberate divergence from reference
+    gas_optics.jl:134-136, which jumps a full cell at exact grid nodes;
+    identical everywhere off-node — see ops/gas_optics.compute_eta_interp).
     """
     slot = 0 if lower else 1
     ig1, ig2 = lkp.key_species[b][slot]
@@ -114,7 +116,7 @@ def _eta_index(lkp, tabs, atm, b, jt, lower, l, c):
         eta = vmr1 / col_mix if col_mix > 0.0 else 0.5
         loc = eta * (lkp.n_eta - 1)
         je = int(min(math.floor(loc), lkp.n_eta - 2))
-        fe = loc - math.floor(loc)
+        fe = loc - je
         out.append((je, fe, col_mix))
     return out
 
