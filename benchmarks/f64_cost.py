@@ -1,0 +1,98 @@
+"""f64-on-TPU cost of the exact-precision XLA fallback (run on TPU).
+
+The Pallas kernel tier is f32-only; f64 inputs dispatch the pure-XLA path
+(models/rrtmgp.py warns and falls back). This prints the f64 clear-sky
+LW+SW throughput at a DYAMOND-ish column count next to the f32 megakernel
+number, so the dtype matrix has a measured perf column (VERDICT round 2 #7).
+The reference runs f64 as a first-class citizen
+(/root/reference/test/runtests.jl:27-30); on TPU, f64 runs on the scalar
+unit at a large penalty — this quantifies it.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+NCOL = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+NLAY = 60
+
+
+def main() -> None:
+    from rrtmgp_tpu.utils.compile import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from rrtmgp_tpu.data.synthetic import synthetic_atmosphere, synthetic_gas_lookup
+    from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
+    from rrtmgp_tpu.ops.gas_optics_pallas import (
+        build_pallas_tables,
+        compute_min_window,
+    )
+    from rrtmgp_tpu.states import LwBCs, SwBCs
+    from rrtmgp_tpu.utils.compile import sweep_block_cols, tpu_compiler_options
+
+    copts = tpu_compiler_options()
+    scols = sweep_block_cols()
+
+    def bench(dtype, use_pallas):
+        jdt = jnp.dtype(dtype)
+        lkp = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=dtype)
+        lkp_sw = synthetic_gas_lookup(
+            longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype
+        )
+        atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=dtype)
+        bcs = LwBCs(sfc_emis=jnp.full((16, NCOL), 0.98, jdt))
+        bcs_sw = SwBCs(
+            cos_zenith=jnp.full((NCOL,), 0.6, jdt),
+            toa_flux=jnp.full((NCOL,), 1361.0, jdt),
+            sfc_alb_direct=jnp.full((14, NCOL), 0.2, jdt),
+            sfc_alb_diffuse=jnp.full((14, NCOL), 0.2, jdt),
+        )
+        kw = {}
+        if use_pallas:
+            kw = dict(
+                pallas_tables=build_pallas_tables(lkp), pallas_windowed="force",
+                pallas_window=compute_min_window(lkp, atm, mega=True),
+                pallas_sweep_cols=scols,
+            )
+            kw_sw = dict(
+                pallas_tables=build_pallas_tables(lkp_sw), pallas_windowed="force",
+                pallas_window=compute_min_window(lkp_sw, atm, mega=True),
+                pallas_sweep_cols=scols,
+            )
+        else:
+            kw_sw = {}
+        f_lw = jax.jit(lambda a, b: solve_lw(lkp, a, b, **kw)[0], compiler_options=copts)
+        f_sw = jax.jit(
+            lambda a, b: solve_sw(lkp_sw, a, b, **kw_sw)[0], compiler_options=copts
+        )
+        out = f_lw(atm, bcs); float(np.asarray(out.flux_up[0, 0]))
+        out2 = f_sw(atm, bcs_sw); float(np.asarray(out2.flux_up[0, 0]))
+        n = 5
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o1 = f_lw(atm, bcs)
+            o2 = f_sw(atm, bcs_sw)
+        float(np.asarray(o1.flux_up[0, 0])) + float(np.asarray(o2.flux_up[0, 0]))
+        dt = (time.perf_counter() - t0) / n
+        return dt
+
+    t32 = bench(np.float32, use_pallas=True)
+    t64 = bench(np.float64, use_pallas=False)
+    print(f"f32 megakernels: {t32*1e3:8.1f} ms -> {NCOL/t32/1e3:8.1f}k cols/s")
+    print(f"f64 XLA fallback: {t64*1e3:8.1f} ms -> {NCOL/t64/1e3:8.1f}k cols/s")
+    print(f"f64 / f32 cost ratio: {t64/t32:.1f}x")
+
+
+if __name__ == "__main__":
+    main()

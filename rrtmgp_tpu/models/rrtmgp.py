@@ -780,6 +780,14 @@ def solve_sw(
 
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
+        # block 128: despite the round-3 scratch diet (phase-3/4 buffer
+        # reuse, no (nlev, B, G) albedo/src — VMEM would now fit), the
+        # remote compile service crashes (HTTP 500, tpu_compile_helper exit
+        # 1, deterministic) on the SW kernel at block 256 in this
+        # environment. Also note composed solves MUST stay at 128: in-kernel
+        # McICA streams are keyed per 128-col block (mesh-invariance
+        # contract).
+        sw_block = 128
         q_base, pack3, eta3, groups_static, scal_offs = mega_sw_inputs(
             lkp, pallas_tables, as_, window
         )
@@ -812,7 +820,7 @@ def solve_sw(
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=pallas_tables.minor_ntp,
-            slab=rows_per_slab(lkp.n_temp),
+            slab=rows_per_slab(lkp.n_temp), block_cols=sw_block,
         )
         flux_up, flux_dn, flux_dn_dir = out[0], out[1], out[2]
         day = (mu0 > 0)[None, :]

@@ -51,6 +51,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Ablation hook for perf diagnosis (benchmarks/ only — NEVER set in
+# production): comma-separated pieces of the optics phase to stub out, e.g.
+# MEGA_ABLATE=major,minors,eta. Read at trace time; results are WRONG with
+# any piece ablated.
+def _ablated(piece: str) -> bool:
+    import os
+
+    return piece in os.environ.get("MEGA_ABLATE", "")
+
+
 def _m5_matrix(m_pad: np.ndarray, gp: int) -> jax.Array:
     """Block expand matrix for the merged [cm_hi|cm_lo|je|fe_hi|fe_lo] dot:
     (5*mb, 2*gp) bf16 — cm parts hit the first gp lanes, loc parts the
@@ -224,26 +234,37 @@ def _optics_phase(
 
     # whole-width contraction: one K-contiguous stacked dot gives all three
     # f32-accuracy passes (hi*hi + hi*lo + lo*hi) against the interleaved rows
-    r_all = dot(w_maj, k_win)
+    if _ablated("major"):
+        r_all = jnp.full((2 * b, k_win.shape[1]), 0.5, jnp.float32)
+    else:
+        r_all = dot(w_maj, k_win)
     if with_rayleigh:
-        rr_all = dot(w_ray, ray_tab)
+        if _ablated("ray"):
+            rr_all = jnp.full((2 * b, ray_tab.shape[1]), 0.5, jnp.float32)
+        else:
+            rr_all = dot(w_ray, ray_tab)
 
     t_acc = jnp.zeros((2 * b, npad), jnp.float32)
     p_acc = jnp.zeros((2 * b, npad), jnp.float32)
     ray_acc = jnp.zeros((2 * b, npad), jnp.float32)
-    for e in range(n_eta):
-        w_e = _hat(loc_g2, float(e))
-        t_acc = t_acc + r_all[:, e * sw : e * sw + npad] * w_e
-        if n_tables == 2:
-            p_acc = p_acc + r_all[:, e * sw + npad : (e + 1) * sw] * w_e
-        if with_rayleigh:
-            ray_acc = ray_acc + rr_all[:, e * npad : (e + 1) * npad] * w_e
+    if _ablated("eta"):
+        t_acc = r_all[:, :npad]
+        p_acc = r_all[:, npad : 2 * npad] if n_tables == 2 else p_acc
+        ray_acc = rr_all[:, :npad] if with_rayleigh else ray_acc
+    else:
+        for e in range(n_eta):
+            w_e = _hat(loc_g2, float(e))
+            t_acc = t_acc + r_all[:, e * sw : e * sw + npad] * w_e
+            if n_tables == 2:
+                p_acc = p_acc + r_all[:, e * sw + npad : (e + 1) * sw] * w_e
+            if with_rayleigh:
+                ray_acc = ray_acc + rr_all[:, e * npad : (e + 1) * npad] * w_e
     tau = combine(cm_g2 * t_acc)
     second = combine(p_acc) if n_tables == 2 else None
     ray = combine(ray_acc) if with_rayleigh else None
 
     minor_pieces: dict = {}
-    for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups):
+    for gi, (g0, g1, n_i, ibnd) in enumerate(minor_groups if not _ablated("minors") else ()):
         so = scal_offs[gi]
         wm = jnp.concatenate(
             [
@@ -328,7 +349,7 @@ def _lw_mega_kernel(
     up_ref, dn_ref = args[idx : idx + 2]; idx += 2
     if gen_mask:
         cover_ref = args[idx]; idx += 1            # (B, 8)
-    kilv_tab, trans_s, sup_s, up_acc, dn_acc, sem = args[idx : idx + 6]
+    kilv_tab, trans_s, sup_s, idn_s, up_acc, dn_acc, sem = args[idx : idx + 7]
 
     @pl.when(pl.program_id(0) == 0)
     def _load_table():
@@ -442,7 +463,10 @@ def _lw_mega_kernel(
         i_dn_new = jnp.where(
             l < nlay - 1, trans_above * i_dn + sdn_above, i_dn
         )
-        dn_acc[l + 1] = jnp.sum(i_dn_new, axis=-1) * i2f
+        # store the radiance row; the spectral reductions run batched after
+        # the loop (per-layer (B, G) lane reductions on the serial carry
+        # path cost ~10% of the kernel — PARITY ablation)
+        idn_s[l + 1] = i_dn_new
         return (pf, trans, fact, lay_val, i_dn_new) + mc
 
     init = (zero, zero, zero, zero, i_dn_top)
@@ -461,7 +485,7 @@ def _lw_mega_kernel(
     # layer's own), then the surface reflection/emission boundary
     lev0 = expand(plke_ref[0].T) * pf0
     i_dn_sfc = trans0 * i_dn1 + clough(trans0, fact0, lay0, lev0)
-    dn_acc[0] = jnp.sum(i_dn_sfc, axis=-1) * i2f
+    idn_s[0] = i_dn_sfc
 
     emis = expand(emis_ref[:].T)
     i_up = i_dn_sfc * (1.0 - emis) + emis * (expand(plks_ref[:].T) * pf0)
@@ -469,10 +493,19 @@ def _lw_mega_kernel(
 
     def up_step(ilay, carry):
         i_up_n = trans_s[ilay] * carry + sup_s[ilay]
-        up_acc[ilay + 1] = jnp.sum(i_up_n, axis=-1) * i2f
+        # reuse sup_s (read exactly once, just above) to stash the radiance
+        sup_s[ilay] = i_up_n
         return i_up_n
 
     jax.lax.fori_loop(0, nlay, up_step, i_up)
+    # batched spectral reductions: 8 levels per op, static slices
+    nlev = nlay + 1
+    for c in range(0, nlev, 8):
+        n = min(8, nlev - c)
+        dn_acc[c : c + n] = jnp.sum(idn_s[c : c + n], axis=-1) * i2f
+    for c in range(0, nlay, 8):
+        n = min(8, nlay - c)
+        up_acc[c + 1 : c + 1 + n] = jnp.sum(sup_s[c : c + n], axis=-1) * i2f
     up_ref[:] = up_acc[:].T
     dn_ref[:] = dn_acc[:].T
 
@@ -645,7 +678,8 @@ def lw_clear_mega(
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # trans
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src up
+            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # src up / i_up
+            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # i_dn rows
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
@@ -730,7 +764,7 @@ def _sw_mega_kernel(
     if gen_mask:
         cover_ref = args[idx]; idx += 1           # (B, 8) McICA cloud cover
     (kilv_tab, rdir_s, tdir_s, rdif_s, tdif_s,
-     albedo, src, up_acc, dn_acc, dir_acc, sem) = args[idx : idx + 11]
+     up_acc, dn_acc, dir_acc, dstage, sem) = args[idx : idx + 10]
 
     @pl.when(pl.program_id(0) == 0)
     def _load_table():
@@ -764,9 +798,18 @@ def _sw_mega_kernel(
     mu0_rinv = 1.0 / mu0_safe  # (B, 1): per-element tau/mu0 becomes a multiply
     # the optics loop runs TOP-DOWN, which is also the direct-beam direction:
     # the beam rides the carry, eliminating a transmittance scratch and a
-    # separate whole-(nlay, B, G) direct pass
+    # separate whole-(nlay, B, G) direct pass. Per-level beam rows stage into
+    # an 8-slot rotating buffer (slot = level % 8) and flush as ONE aligned
+    # (8, B, G) spectral reduction per chunk — per-level lane reductions on
+    # the serial beam carry cost ~10% of the kernel (PARITY ablation).
     dir_top = toa_ref[:] * mu0
-    dir_acc[nlay] = jnp.sum(dir_top, axis=-1)
+    dstage[nlay % 8] = dir_top
+    for s in range(nlay % 8 + 1, 8):  # levels above TOA in the padded chunk
+        dstage[s] = zeroc
+    if nlay % 8 == 0:
+        # the TOA level is alone in its (padded) chunk: flush it up front —
+        # the loop's first stores would overwrite slot 0 before any flush
+        dir_acc[nlay : nlay + 8] = jnp.sum(dstage[:], axis=-1)
 
     def optics_step(i, carry):
         l = nlay - 1 - i
@@ -832,7 +875,11 @@ def _sw_mega_kernel(
         T0 = jnp.exp(-(tau * mu0_rinv))
         Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps, T0=T0)
         d_new = d_beam * T0
-        dir_acc[l] = jnp.sum(d_new, axis=-1)
+        dstage[jax.lax.rem(l, 8)] = d_new
+
+        @pl.when(jax.lax.rem(l, 8) == 0)
+        def _flush_dir():
+            dir_acc[pl.ds(pl.multiple_of(l, 8), 8)] = jnp.sum(dstage[:], axis=-1)
         # store the direct-source coefficients PRE-MULTIPLIED by the beam
         # above this layer: phases 3/4 then never touch a (nlev, B, G)
         # direct-flux tensor — it exists only as the loop carry + the
@@ -854,10 +901,14 @@ def _sw_mega_kernel(
         cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
 
     # phase 3: bottom-up albedo/src (beam-premultiplied direct sources from
-    # phase 1; the surface beam arrives on the loop carry)
+    # phase 1; the surface beam arrives on the loop carry). The four layer
+    # buffers are reused in place — no (nlev, B, G) albedo/src scratch:
+    # after its read, rdif_s[l] holds sconst = denom*(Rdif*src_lo + tdird)
+    # (the carry-independent part of the phase-4 flux recurrence), tdif_s[l]
+    # holds td, and rdir_s/tdir_s[l] hold the LEVEL l+1 albedo/src values.
     d_sfc = carry_out[5]
-    albedo[0] = expand(adif_ref[:].T)
-    src[0] = d_sfc * expand(adir_ref[:].T)
+    alb0 = expand(adif_ref[:].T)
+    src0 = d_sfc * expand(adir_ref[:].T)
 
     def up_step(ilay, carry):
         alb_i, src_i = carry
@@ -868,38 +919,44 @@ def _sw_mega_kernel(
         td = Tdif * denom
         alb_n = Rdif + Tdif * alb_i * td
         src_n = rdir_s[ilay] + td * (src_i + alb_i * tdird)
-        albedo[ilay + 1] = alb_n
-        src[ilay + 1] = src_n
-        # fold denom into the phase-4 operands in place (phase 4 is their
-        # only remaining consumer): saves a divide per element there
-        rdif_s[ilay] = Rdif * denom
+        rdif_s[ilay] = denom * (Rdif * src_i + tdird)
         tdif_s[ilay] = td
-        tdir_s[ilay] = tdird * denom
+        rdir_s[ilay] = alb_n
+        tdir_s[ilay] = src_n
         return alb_n, src_n
 
-    jax.lax.fori_loop(0, nlay, up_step, (albedo[0], src[0]))
+    alb_top, src_top = jax.lax.fori_loop(0, nlay, up_step, (alb0, src0))
 
-    # phase 4: top-down diffuse flux + spectral reduction (denom-folded
-    # coefficients from phase 3)
+    # phase 4: top-down diffuse flux, fd = td*carry + sconst; per-level up/dn
+    # rows overwrite tdif_s/rdif_s in place (last consumers) and reduce in
+    # batched (8, B, G) ops afterwards — the serial fd carry stays free of
+    # lane reductions
     fd_top = incdif_ref[:]
-    up_acc[nlay] = jnp.sum(fd_top * albedo[nlay] + src[nlay], axis=-1)
-    # diffuse-down + the ALREADY-REDUCED direct beam: phase 4 never touches
-    # the (nlev, B, G) dirf scratch (the per-level spectral sum distributes)
+    up_acc[nlay] = jnp.sum(fd_top * alb_top + src_top, axis=-1)
     dn_acc[nlay] = jnp.sum(fd_top, axis=-1) + dir_acc[nlay]
 
     def down_step(i, carry):
         ilay = nlay - 1 - i
-        alb_i = albedo[ilay]
-        src_i = src[ilay]
-        fd = tdif_s[ilay] * carry + rdif_s[ilay] * src_i + tdir_s[ilay]
-        up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
-        dn_acc[ilay] = jnp.sum(fd, axis=-1) + dir_acc[ilay]
+        fd = tdif_s[ilay] * carry + rdif_s[ilay]
+        below = jnp.maximum(ilay - 1, 0)
+        at_sfc = (ilay == 0)
+        alb_i = jnp.where(at_sfc, alb0, rdir_s[below])
+        src_i = jnp.where(at_sfc, src0, tdir_s[below])
+        tdif_s[ilay] = fd * alb_i + src_i
+        rdif_s[ilay] = fd
         return fd
 
     jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    for c in range(0, nlay, 8):
+        n = min(8, nlay - c)
+        up_acc[c : c + n] = jnp.sum(tdif_s[c : c + n], axis=-1)
+        dn_acc[c : c + n] = (
+            jnp.sum(rdif_s[c : c + n], axis=-1) + dir_acc[c : c + n]
+        )
+    nlev = nlay + 1
     up_ref[:] = up_acc[:].T
     dn_ref[:] = dn_acc[:].T
-    dir_ref[:] = dir_acc[:].T
+    dir_ref[:] = dir_acc[: nlev].T
 
 
 @functools.partial(
@@ -1070,11 +1127,11 @@ def sw_clear_mega(
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdir
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdif
             pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdif
-            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # albedo
-            pltpu.VMEM((nlev, block_cols, gp), jnp.float32),   # src
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
-            pltpu.VMEM((nlev, block_cols), jnp.float32),       # dir reduced
+            # dir reduced, padded so 8-row chunk flushes never clip
+            pltpu.VMEM(((nlay // 8 + 1) * 8, block_cols), jnp.float32),
+            pltpu.VMEM((8, block_cols, gp), jnp.float32),      # beam stage
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
@@ -1342,21 +1399,29 @@ def _lw2_mega_kernel(
     albedo[nlay] = alb_n
     src[nlay] = src_n
 
-    # phase 2: top-down diffuse flux + spectral reduction (ref :182-253)
+    # phase 2: top-down diffuse flux (ref :182-253). Spectral reductions are
+    # DEFERRED: per-level up/dn rows overwrite albedo/src in place (phase 2
+    # is their last consumer) and reduce in batched (8, B, G) ops afterwards,
+    # keeping the serial fd carry free of lane reductions.
     fd_top = inc_ref[:]
-    up_acc[nlay] = jnp.sum(fd_top * alb_n + src_n, axis=-1)
-    dn_acc[nlay] = jnp.sum(fd_top, axis=-1)
+    albedo[nlay] = fd_top * alb_n + src_n
+    src[nlay] = fd_top
 
     def down_step(i, carry):
         ilay = nlay - 1 - i
         alb_i = albedo[ilay]
         src_i = src[ilay]
         fd = tdif_s[ilay] * carry + rdif_s[ilay] * src_i + srcdn_s[ilay]
-        up_acc[ilay] = jnp.sum(fd * alb_i + src_i, axis=-1)
-        dn_acc[ilay] = jnp.sum(fd, axis=-1)
+        albedo[ilay] = fd * alb_i + src_i
+        src[ilay] = fd
         return fd
 
     jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    nlev = nlay + 1
+    for c in range(0, nlev, 8):
+        n = min(8, nlev - c)
+        up_acc[c : c + n] = jnp.sum(albedo[c : c + n], axis=-1)
+        dn_acc[c : c + n] = jnp.sum(src[c : c + n], axis=-1)
     up_ref[:] = up_acc[:].T
     dn_ref[:] = dn_acc[:].T
 
