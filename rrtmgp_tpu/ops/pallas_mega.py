@@ -61,6 +61,24 @@ def _ablated(piece: str) -> bool:
     return piece in os.environ.get("MEGA_ABLATE", "")
 
 
+def _paired_fori(nlay: int, step, init):
+    """fori_loop over layers with a TWO-layer body (plus a tail step when
+    nlay is odd). Identical arithmetic to fori_loop(0, nlay, step, init) —
+    the point is scheduling: Mosaic schedules within one loop body, so
+    pairing exposes the second layer's MXU dots to overlap with the first
+    layer's VPU tail (the serial sweep carries only bind the small carry
+    tensors, not the optics work). Mosaic's fori_loop unroll only supports
+    1 or full; full unroll of a 60-layer optics body blows code size."""
+
+    def body2(i2, carry):
+        return step(2 * i2 + 1, step(2 * i2, carry))
+
+    carry = jax.lax.fori_loop(0, nlay // 2, body2, init)
+    if nlay % 2:
+        carry = step(nlay - 1, carry)
+    return carry
+
+
 def _m5_matrix(m_pad: np.ndarray, gp: int) -> jax.Array:
     """Block expand matrix for the merged [cm_hi|cm_lo|je|fe_hi|fe_lo] dot:
     (5*mb, 2*gp) bf16 — cm parts hit the first gp lanes, loc parts the
@@ -184,15 +202,18 @@ def _optics_phase(
     fp_h = fp.astype(jnp.bfloat16).astype(jnp.float32)
     fp_l = fp - fp_h
     vals = ((omf_h, omf_h, omf_l), (fp_h, fp_h, fp_l))
-    w_rows = []
-    for half in (0, 1):
-        w = jnp.zeros((b, window), jnp.float32)
-        for p in (0, 1):
-            for sec in (0, 1, 2):
-                row = r0 + 3 * (half + p * slab) + sec
-                w = w + jnp.where(iota_q == row, vals[p][sec], 0.0)
-        w_rows.append(w)
-    w_maj = jnp.concatenate(w_rows, axis=0).astype(jnp.bfloat16)  # (2B, window)
+    if _ablated("wbuild"):
+        w_maj = jnp.full((2 * b, window), 0.01, jnp.bfloat16)
+    else:
+        w_rows = []
+        for half in (0, 1):
+            w = jnp.zeros((b, window), jnp.float32)
+            for p in (0, 1):
+                for sec in (0, 1, 2):
+                    row = r0 + 3 * (half + p * slab) + sec
+                    w = w + jnp.where(iota_q == row, vals[p][sec], 0.0)
+            w_rows.append(w)
+        w_maj = jnp.concatenate(w_rows, axis=0).astype(jnp.bfloat16)  # (2B, window)
 
     loc_b2 = jnp.concatenate([loc1_ref[l].T, loc2_ref[l].T], axis=0)  # (2B, nbnd)
     cm_b2 = jnp.concatenate([cm1_ref[l].T, cm2_ref[l].T], axis=0)
@@ -472,7 +493,7 @@ def _lw_mega_kernel(
     init = (zero, zero, zero, zero, i_dn_top)
     if gen_mask:
         init = init + (zero, zero, zero1, zero1, zero)
-    carry_out = jax.lax.fori_loop(0, nlay, optics_step, init)
+    carry_out = _paired_fori(nlay, optics_step, init)
     pf0, trans0, fact0, lay0, i_dn1 = carry_out[:5]
     if gen_mask:
         lane = jax.lax.broadcasted_iota(jnp.int32, (b_cols, npad), 1)
@@ -873,7 +894,10 @@ def _sw_mega_kernel(
         # T0 computed ONCE: it is the direct-beam layer transmittance, the
         # _sw_coeffs clamp bound, AND the beam-carry update
         T0 = jnp.exp(-(tau * mu0_rinv))
-        Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps, T0=T0)
+        if _ablated("coeffs"):
+            Rdir = Tdir = Rdif = Tdif = T0 * 0.25
+        else:
+            Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps, T0=T0)
         d_new = d_beam * T0
         dstage[jax.lax.rem(l, 8)] = d_new
 
@@ -891,7 +915,7 @@ def _sw_mega_kernel(
         return carry[:5] + (d_new,)
 
     init = (zeroc, zeroc, zero1, zero1, zeroc, dir_top)
-    carry_out = jax.lax.fori_loop(0, nlay, optics_step, init)
+    carry_out = _paired_fori(nlay, optics_step, init)
     if gen_mask:
         anyc = carry_out[4]
         lane = jax.lax.broadcasted_iota(jnp.int32, (b_cols, npad), 1)
@@ -1384,8 +1408,8 @@ def _lw2_mega_kernel(
         return pf, tau_l, ssa_l, g_l, lev_val, alb_c, src_c
 
     zero = jnp.zeros((b_cols, npad), jnp.float32)
-    pf_top, tau_top, ssa_top, g_top, lev_top_prev, alb_c, src_c = jax.lax.fori_loop(
-        0, nlay, optics_step, (zero,) * 7
+    pf_top, tau_top, ssa_top, g_top, lev_top_prev, alb_c, src_c = _paired_fori(
+        nlay, optics_step, (zero,) * 7
     )
     # epilogue: top layer (lev_top from the clamped neighbor pfrac)
     lev_top = expand(plke_ref[nlay].T) * pf_top

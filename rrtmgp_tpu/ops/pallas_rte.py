@@ -50,12 +50,20 @@ def _sw_coeffs(tau, ssa, g, mu0, eps, T0=None):
     direct-beam scratch.
     """
     k_min = eps ** 0.5
+    # trace-time clear-sky specialization: with asymmetry g == 0 (a Python
+    # scalar, not a traced zero array) gamma3 = gamma4 = 1/2, so
+    # alpha1 == alpha2 == (gamma1+gamma2)/2 and k_g3 == k_g4 == k/2 —
+    # several full-width VPU ops collapse into shared ones
+    isotropic = isinstance(g, (int, float)) and g == 0.0
     gamma1 = (8.0 - ssa * (5.0 + 3.0 * g)) * 0.25
     gamma2 = 3.0 * (ssa * (1.0 - g)) * 0.25
-    gamma3 = (2.0 - (3.0 * mu0) * g) * 0.25
-    gamma4 = 1.0 - gamma3
-    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
-    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+    if isotropic:
+        alpha1 = alpha2 = 0.5 * (gamma1 + gamma2)
+    else:
+        gamma3 = (2.0 - (3.0 * mu0) * g) * 0.25
+        gamma4 = 1.0 - gamma3
+        alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+        alpha2 = gamma1 * gamma3 + gamma2 * gamma4
     k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), k_min))
 
     ektau = jnp.exp(-tau * k)
@@ -67,8 +75,11 @@ def _sw_coeffs(tau, ssa, g, mu0, eps, T0=None):
     if T0 is None:
         T0 = jnp.exp(-tau / jnp.maximum(mu0, eps))
     k_mu = k * mu0
-    k_g3 = k * gamma3
-    k_g4 = k * gamma4
+    if isotropic:
+        k_g3 = k_g4 = 0.5 * k
+    else:
+        k_g3 = k * gamma3
+        k_g4 = k * gamma4
     omk2 = 1.0 - k_mu * k_mu
     denom = jnp.where(jnp.abs(omk2) >= eps, omk2, eps)
     rt2 = ssa * rt / denom
