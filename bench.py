@@ -78,6 +78,7 @@ def measure() -> dict:
         from rrtmgp_tpu.ops.gas_optics_pallas import (
             build_pallas_tables,
             compute_min_window,
+            compute_ray_window,
         )
 
         tabs_lw = build_pallas_tables(lkp_lw)
@@ -86,9 +87,11 @@ def measure() -> dict:
         # atmosphere (the invariant depends only on the p/t fields)
         win_lw = compute_min_window(lkp_lw, atm, mega=True)
         win_sw = compute_min_window(lkp_sw, atm, mega=True)
+        ray_win = compute_ray_window(lkp_sw, atm)
     else:
         tabs_lw = tabs_sw = None
         win_lw = win_sw = 96
+        ray_win = None
 
     from rrtmgp_tpu.utils.compile import sweep_block_cols, tpu_compiler_options
 
@@ -107,6 +110,7 @@ def measure() -> dict:
         lambda a, b: solve_sw(
             lkp_sw, a, b, pallas_tables=tabs_sw, pallas_windowed="force",
             pallas_window=win_sw, pallas_sweep_cols=scols,
+            pallas_ray_window=ray_win,
         )[0],
         compiler_options=copts,
     )

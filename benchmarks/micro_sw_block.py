@@ -71,14 +71,14 @@ def main():
 
     def run_sw(block):
         window = min(win_sw, tabs_sw.fused_ilv.shape[0])
-        q_base, pack3, eta3, groups, offs = mega_sw_inputs(
+        q_base, pack3, eta3, groups, offs, ray_base = mega_sw_inputs(
             lkp_sw, tabs_sw, atm, window
         )
 
         def f(pack3, eta3, mu0, toa_gpt, alb):
             return sw_clear_mega(
-                q_base, pack3, eta3, mu0, toa_gpt, alb, alb,
-                tabs_sw.fused_ilv, tabs_sw.ray_stack,
+                q_base, ray_base, pack3, eta3, mu0, toa_gpt, alb, alb,
+                tabs_sw.fused_ilv, tabs_sw.ray_ilv,
                 tabs_sw.minor_stack, tabs_sw.minor_proj, None,
                 nlay=NLAY, window=window, n_eta=lkp_sw.n_eta,
                 n_gpt=lkp_sw.n_gpt, n_bnd=lkp_sw.n_bnd,

@@ -323,6 +323,14 @@ class RRTMGPSolver:
         self._pallas_sw = tabs_sw
         self._win_lw = win_lw
         self._win_sw = win_sw
+        ray_win = None
+        if use_pallas:
+            from .ops.gas_optics_pallas import compute_ray_window
+
+            # +8 margin mirrors the q-window margin (one extra 8-row tile of
+            # p/t drift headroom before the in-jit guard trips)
+            ray_win = compute_ray_window(lk.lookup_sw, self.as_) + 8
+        self._ray_win_sw = ray_win
         copts = tpu_compiler_options()
         scols = sweep_block_cols()
 
@@ -380,6 +388,7 @@ class RRTMGPSolver:
             return _solvers.solve_sw(
                 lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw, lkp_aero=sw_aero,
                 pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols,
+                pallas_ray_window=ray_win,
                 pallas_windowed=wmode, aero_species=aspec, metric_scaling=mscale,
             )
 
@@ -405,7 +414,8 @@ class RRTMGPSolver:
                     lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero,
                     cld_mask_seed=seed, col_offset=col_ids[0],
                     pallas_tables=tabs_sw, pallas_window=win_sw,
-                    pallas_sweep_cols=scols, pallas_windowed=wmode,
+                    pallas_sweep_cols=scols, pallas_ray_window=ray_win,
+                    pallas_windowed=wmode,
                     aero_species=aspec, metric_scaling=mscale,
                 )
 

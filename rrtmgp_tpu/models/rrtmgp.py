@@ -171,6 +171,20 @@ def _window_guard_ok(lkp, tables, as_, window: int, mega: bool) -> jax.Array:
     return ok
 
 
+def _ray_guard_ok(lkp, as_, ray_win: int) -> jax.Array:
+    """Traced validity of the SW Rayleigh-table window (interleaved rows;
+    see gas_optics_pallas.compute_ray_window). Same contract and failure
+    mode as _window_guard_ok."""
+    from ..ops import pallas_interp as pk
+    from ..ops.gas_optics import compute_pt_interp
+
+    rps = pk.rows_per_slab(lkp.n_temp)
+    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
+    q_ray = jnp.where(pt.tropo_lower, 0, rps) + pt.jtemp
+    _, ok = pk.ray_window_bases(q_ray, 2 * rps, ray_win)
+    return ok
+
+
 def _poison_unless(flux, ok):
     """NaN-poison all flux fields unless ``ok`` (a () bool) holds."""
     if ok is None:
@@ -722,6 +736,10 @@ def solve_sw(
     pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
     pallas_window: int = 96,             # static table-row window (see
                                          # gas_optics_pallas.compute_min_window)
+    pallas_ray_window: int | None = None,  # static Rayleigh-table window
+                                         # (gas_optics_pallas.compute_ray_window);
+                                         # None = full table (always safe). Guarded
+                                         # in-jit like pallas_window.
     pallas_sweep_cols: int = 16,         # RTE sweep column block; 128 on TPU
                                          # with utils.compile.tpu_compiler_options
     aero_species: tuple | None = None,   # STATIC active MERRA species indices
@@ -780,6 +798,10 @@ def solve_sw(
 
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
+        ray_full = pallas_tables.ray_ilv.shape[0]
+        ray_win = min(pallas_ray_window or ray_full, ray_full)
+        if ray_win < ray_full:
+            win_ok = jnp.logical_and(win_ok, _ray_guard_ok(lkp, as_, ray_win))
         # block 128: despite the round-3 scratch diet (phase-3/4 buffer
         # reuse, no (nlev, B, G) albedo/src — VMEM would now fit), the
         # remote compile service crashes (HTTP 500, tpu_compile_helper exit
@@ -788,8 +810,8 @@ def solve_sw(
         # McICA streams are keyed per 128-col block (mesh-invariance
         # contract).
         sw_block = 128
-        q_base, pack3, eta3, groups_static, scal_offs = mega_sw_inputs(
-            lkp, pallas_tables, as_, window
+        q_base, pack3, eta3, groups_static, scal_offs, ray_base = mega_sw_inputs(
+            lkp, pallas_tables, as_, window, ray_window=ray_win
         )
         cld_b3 = None
         if lkp_cld is not None:
@@ -807,10 +829,10 @@ def solve_sw(
         toa_gpt = bcs.toa_flux[:, None] * lkp.solar_src_scaled[None, :]
         gen = lkp_cld is not None and cld_mask is None
         out = sw_clear_mega(
-            q_base, pack3, eta3, mu0, toa_gpt,
+            q_base, ray_base, pack3, eta3, mu0, toa_gpt,
             bcs.sfc_alb_direct, bcs.sfc_alb_diffuse,
             pallas_tables.fused_ilv,
-            pallas_tables.ray_stack,
+            pallas_tables.ray_ilv,
             pallas_tables.minor_stack, pallas_tables.minor_proj,
             bcs.inc_flux_diffuse, cld_b3, cld_mask, aero_b3, aero_act,
             as_.cloud_state.cld_frac if gen else None,
@@ -821,6 +843,7 @@ def solve_sw(
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=pallas_tables.minor_ntp,
             slab=rows_per_slab(lkp.n_temp), block_cols=sw_block,
+            ray_win=ray_win,
         )
         flux_up, flux_dn, flux_dn_dir = out[0], out[1], out[2]
         day = (mu0 > 0)[None, :]

@@ -68,6 +68,12 @@ class PallasGasTables:
                                   # eta-slab LANE-PACKED (see _minor_emajor_packed)
     minor_proj: tuple             # per group [P; P] 0/1 eta-sum projection
     ray_stack: jax.Array | None   # [hi; lo] rows
+    ray_ilv: jax.Array | None     # hi/lo row-INTERLEAVED (row 2r=hi_r,
+                                  # 2r+1=lo_r): the megakernel's per-layer ray
+                                  # window is then one contiguous row slice
+                                  # whose K tracks only the layer's
+                                  # (tropo, jtemp) SPREAD (vs the full 2-slab
+                                  # K=4*rps of ray_stack)
     fused_hi: jax.Array | None
     fused_lo: jax.Array | None
     fused_ilv: jax.Array | None   # sec-minor interleaved [hi; lo; hi]:
@@ -241,6 +247,13 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         minor_proj=tuple(group_proj),
         ray_stack=(
             None if rayl_hi is None else jnp.concatenate([rayl_hi, rayl_lo], axis=0)
+        ),
+        ray_ilv=(
+            None
+            if rayl_hi is None
+            else jnp.stack([rayl_hi, rayl_lo], axis=1).reshape(
+                2 * rayl_hi.shape[0], -1
+            )
         ),
         fused_hi=fused_hi,
         fused_lo=fused_lo,
@@ -535,6 +548,27 @@ def compute_min_window(
     return min(-(-req // 16) * 16, n_rows)
 
 
+def compute_ray_window(lkp: GasLookup, as_: AtmosphericState) -> int:
+    """Smallest safe Rayleigh-table window (interleaved-row space, static
+    kernel shape; see compute_min_window for the contract). The span depends
+    only on the per-layer (tropo, jtemp) spread across columns — typically
+    one 8-row tile except for layers straddling the tropopause with a wide
+    temperature spread. Full-table fallback = 4*rows_per_slab."""
+    rps = pk.rows_per_slab(lkp.n_temp)
+    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
+    q_ray = jnp.where(pt.tropo_lower, 0, rps) + pt.jtemp
+    n_rows = 2 * rps
+    q_min = jnp.min(q_ray, axis=1)
+    q_max = jnp.max(q_ray, axis=1)
+    base = jnp.clip(((2 * q_min) // 8) * 8, 0, None)
+    req = int(jnp.max(2 * (q_max + 1) + 2 - base))
+    full = 2 * n_rows
+    for bucket in (16, 24, 32, 48):
+        if req <= bucket <= full:
+            return bucket
+    return full
+
+
 def _optics_fused_call(
     lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray,
     windowed="auto", window_size=96, out_padded=False, eta_chunk=1,
@@ -714,11 +748,14 @@ def mega_lw_inputs(
 
 def mega_sw_inputs(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
+    ray_window: int | None = None,
 ):
     """Inputs for ops.pallas_mega.sw_clear_mega (see mega_lw_inputs).
 
     Input prep is block-size independent: ncol must be a multiple of 128
-    (the minimum mega block), which any larger block divides."""
+    (the minimum mega block), which any larger block divides. ray_window
+    (interleaved Rayleigh rows; see compute_ray_window) defaults to the full
+    table; when given, also returns the per-layer ray window bases."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, 128)
     assert ncol == ncol_pad, (ncol, ncol_pad)
     nlay = as_.nlay
@@ -733,7 +770,14 @@ def mega_sw_inputs(
     q_base, _ = pk.mega_window_bases(
         q_major, pk.rows_per_slab(lkp.n_temp), tables.fused_hi.shape[0], window
     )
-    return q_base, pack3, eta3, groups_static, scal_offs
+    rps = pk.rows_per_slab(lkp.n_temp)
+    if ray_window is None:
+        ray_window = 4 * rps
+    q_ray2d = jnp.where(pt2d.tropo_lower, 0, rps) + pt2d.jtemp
+    ray_base, _ = pk.ray_window_bases(
+        q_ray2d.reshape(nlay, ncol), 2 * rps, ray_window
+    )
+    return q_base, pack3, eta3, groups_static, scal_offs, ray_base
 
 
 class RawLWOptics(NamedTuple):

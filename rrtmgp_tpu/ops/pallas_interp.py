@@ -321,6 +321,20 @@ def mega_window_bases(q: jax.Array, rps: int, n_rows: int, window: int):
     return base, ok
 
 
+def ray_window_bases(q_ray: jax.Array, n_rows: int, window: int):
+    """Per-layer window base + validity in the Rayleigh table's hi/lo
+    INTERLEAVED row space (row = 2*q + sec, q = tropo*rps + jtemp; see
+    PallasGasTables.ray_ilv). Base is any 8-aligned row; the window must
+    cover both temp halves' hi+lo rows: up to 2*(q_max+1)+1 inclusive."""
+    q_min = jnp.min(q_ray, axis=1)
+    q_max = jnp.max(q_ray, axis=1)
+    base = ((2 * q_min) // 8) * 8
+    max_base = (max(2 * n_rows - window, 0) // 8) * 8
+    base = jnp.clip(base, 0, max_base).astype(jnp.int32)
+    ok = jnp.all(2 * (q_max + 1) + 2 - base <= window)
+    return base, ok
+
+
 def split_table_emajor(table) -> tuple[jax.Array, jax.Array]:
     """(ngpt, npress+1, ntemp, neta) table -> e-major 2D bf16 (hi, lo) parts.
 

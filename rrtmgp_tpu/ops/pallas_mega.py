@@ -167,11 +167,43 @@ def planck_band_pallas_t(
 # ---------------------------------------------------------------------------
 
 
+def _phase_inv(
+    b, mk_stack, *, window, n_eta, minor_groups, minor_ntp, with_rayleigh,
+    ray_win,
+):
+    """Layer-INVARIANT index tensors used by every _optics_phase call: the
+    one-hot iotas and the minor groups' eta-lane decode (e_lane, valid).
+    Built ONCE before the layer loop — as free variables of the fori body
+    they are loop constants, so ~15 integer VPU ops per layer (per group)
+    drop off the hot path."""
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (b, window), 1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (b, minor_ntp), 1)
+    minors = []
+    for g0, g1, _n_i, _ibnd in minor_groups:
+        wp = mk_stack[len(minors)].shape[1]
+        ng = g1 - g0
+        s = min(max(128 // ng, 1), n_eta)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (2 * b, wp), 1)
+        lane = iota_l % 128
+        e_lane = (iota_l // 128) * s + lane // ng
+        valid = jnp.logical_and(lane < s * ng, e_lane < n_eta)
+        minors.append((e_lane.astype(jnp.float32), valid))
+    # halved iota over the INTERLEAVED ray window: rows 2q (hi) and 2q+1 (lo)
+    # share the value q, so one equality test lights both rows of a temp node
+    iota_rh = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, ray_win), 1) // 2
+        if with_rayleigh
+        else None
+    )
+    return {"iota_q": iota_q, "iota_t": iota_t, "minors": minors,
+            "iota_rh": iota_rh}
+
+
 def _optics_phase(
     l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
-    kilv_tab, mk_stack, mk_proj, ray_tab,
+    kilv_tab, mk_stack, mk_proj, ray_tab, inv, rb2=None,
     *, window, n_eta, npad, n_tables, sw, minor_groups, scal_offs, minor_ntp,
-    with_rayleigh, ray_rows, slab,
+    with_rayleigh, ray_win=0, slab,
 ):
     """One layer's gas optics for a column block; returns (tau, second) each
     (B, npad) f32 where second = pfrac (LW) or ssa (SW). Identical arithmetic
@@ -188,8 +220,8 @@ def _optics_phase(
     fp = d[:, 2:3]
     ft = d[:, 3:4]
     col_dry = d[:, 4:5]
-    iota_q = jax.lax.broadcasted_iota(jnp.int32, (b, window), 1)
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (b, minor_ntp), 1)
+    iota_q = inv["iota_q"]
+    iota_t = inv["iota_t"]
 
     # interleaved-row index for (press offset p, temp half h, section sec):
     # 3*(q + h + p*slab) + sec; weight value = bf16 hi part for sections 0/1,
@@ -246,12 +278,16 @@ def _optics_phase(
     dot = lambda a, k: jnp.dot(a, k, preferred_element_type=jnp.float32)
     k_win = kilv_tab[pl.ds(base, window)]
     if with_rayleigh:
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, ray_rows), 1)
-        qr = d[:, 5:6].astype(jnp.int32)
-        w_ray1 = jnp.concatenate(
-            [jnp.where(iota_r == qr + half, 1.0, 0.0) for half in (0, 1)], axis=0
-        ).astype(jnp.bfloat16)
-        w_ray = jnp.concatenate([w_ray1, w_ray1], axis=1)  # (2B, 2*ray_rows)
+        # windowed hi/lo-interleaved contraction (rows 2q=hi, 2q+1=lo): the
+        # halved iota equals q on both rows, so a single one-hot per temp
+        # half covers both bf16 passes; K = ray_win tracks only the layer's
+        # (tropo, jtemp) spread instead of the full 4*rps table
+        iota_rh = inv["iota_rh"]
+        qrh = d[:, 5:6].astype(jnp.int32) - rb2 // 2
+        w_ray = jnp.concatenate(
+            [jnp.where(iota_rh == qrh + half, 1.0, 0.0) for half in (0, 1)],
+            axis=0,
+        ).astype(jnp.bfloat16)  # (2B, ray_win)
 
     # whole-width contraction: one K-contiguous stacked dot gives all three
     # f32-accuracy passes (hi*hi + hi*lo + lo*hi) against the interleaved rows
@@ -263,7 +299,7 @@ def _optics_phase(
         if _ablated("ray"):
             rr_all = jnp.full((2 * b, ray_tab.shape[1]), 0.5, jnp.float32)
         else:
-            rr_all = dot(w_ray, ray_tab)
+            rr_all = dot(w_ray, ray_tab[pl.ds(rb2, ray_win)])
 
     t_acc = jnp.zeros((2 * b, npad), jnp.float32)
     p_acc = jnp.zeros((2 * b, npad), jnp.float32)
@@ -302,14 +338,9 @@ def _optics_phase(
         )
         rm = dot(_stack_w(wm), mk_stack[gi][:])
         ng = g1 - g0
-        s = min(max(128 // ng, 1), n_eta)
-        wp = rm.shape[1]
         loc_col = loc_b2[:, ibnd : ibnd + 1]
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (2 * b, wp), 1)
-        lane = iota_l % 128
-        e_lane = (iota_l // 128) * s + lane // ng
-        valid = jnp.logical_and(lane < s * ng, e_lane < n_eta)
-        w = jnp.where(valid, _hat(loc_col, e_lane.astype(jnp.float32)), 0.0)
+        e_lane_f, valid = inv["minors"][gi]
+        w = jnp.where(valid, _hat(loc_col, e_lane_f), 0.0)
         acc = rm * w
         a_hi, a_lo = _split_hi_lo(acc)
         summed = dot(jnp.concatenate([a_hi, a_lo], axis=1), mk_proj[gi][:])
@@ -412,6 +443,11 @@ def _lw_mega_kernel(
     zero = jnp.zeros((b_cols, npad), jnp.float32)
     zero1 = jnp.zeros((b_cols, 1), jnp.float32)
     i_dn_top = inc_ref[:] * f2i
+    inv = _phase_inv(
+        b_cols, mk_stack, window=window, n_eta=n_eta,
+        minor_groups=minor_groups, minor_ntp=minor_ntp, with_rayleigh=False,
+        ray_win=0,
+    )
 
     def optics_step(i, carry):
         l = nlay - 1 - i
@@ -420,10 +456,10 @@ def _lw_mega_kernel(
             u_above, m_above, cf_above, started, anyc = carry[5:]
         tau, pf = _optics_phase(
             l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
-            kilv_tab, mk_stack, mk_proj, None,
+            kilv_tab, mk_stack, mk_proj, None, inv,
             window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
             minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-            with_rayleigh=False, ray_rows=0, slab=slab,
+            with_rayleigh=False, slab=slab,
         )
         # no-scat composition is absorption-only: tau += tau_x * (1 - ssa_x)
         # under the McICA/active mask (ref cloud_optics.jl:1-49,
@@ -741,9 +777,10 @@ def lw_clear_mega(
 
 def _sw_mega_kernel(
     qb_ref,
+    rb_ref,
     *args,
     nlay, window, n_eta, npad, sw, minor_groups, scal_offs, minor_ntp,
-    slab, ray_rows, has_cloud, has_aero, gen_mask, n_gpt,
+    slab, ray_win, has_cloud, has_aero, gen_mask, n_gpt,
 ):
     """SW two-stream megakernel, clear / cloudy (McICA) / aerosol sky.
 
@@ -795,7 +832,6 @@ def _sw_mega_kernel(
 
     m2 = m2_ref[:]
     m5 = m5_ref[:]
-    ray_tab = ray_ref[:]
     eps = float(jnp.finfo(jnp.float32).eps)
     mu0 = mu0_ref[:].T  # (B, 1), broadcasts over g-points
     mu0_safe = jnp.maximum(mu0, eps)
@@ -831,16 +867,22 @@ def _sw_mega_kernel(
         # the TOA level is alone in its (padded) chunk: flush it up front —
         # the loop's first stores would overwrite slot 0 before any flush
         dir_acc[nlay : nlay + 8] = jnp.sum(dstage[:], axis=-1)
+    inv = _phase_inv(
+        b_cols, mk_stack, window=window, n_eta=n_eta,
+        minor_groups=minor_groups, minor_ntp=minor_ntp, with_rayleigh=True,
+        ray_win=ray_win,
+    )
 
     def optics_step(i, carry):
         l = nlay - 1 - i
         u_above, m_above, cf_above, started, anyc, d_beam = carry
         tau, ssa = _optics_phase(
             l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
-            kilv_tab, mk_stack, mk_proj, ray_tab,
+            kilv_tab, mk_stack, mk_proj, ray_ref, inv,
+            pl.multiple_of(rb_ref[l], 8),
             window=window, n_eta=n_eta, npad=npad, n_tables=1, sw=sw,
             minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-            with_rayleigh=True, ray_rows=ray_rows, slab=slab,
+            with_rayleigh=True, ray_win=ray_win, slab=slab,
         )
         if has_cloud:
             tc = expand(ctau_ref[l].T)
@@ -988,10 +1030,14 @@ def _sw_mega_kernel(
     static_argnames=(
         "nlay", "window", "n_eta", "n_gpt", "n_bnd", "bnd_lims_gpt",
         "minor_groups", "scal_offs", "minor_ntp", "slab", "block_cols",
+        "ray_win",
     ),
 )
 def sw_clear_mega(
     q_base: jax.Array,        # (nlay,) int32
+    ray_base: jax.Array,      # (nlay,) int32 per-layer ray window base
+                              # (interleaved rows, 8-aligned; see
+                              # pallas_interp.ray_window_bases)
     pack: jax.Array,          # (nlay, npk, ncol) f32
     eta_ops: tuple,           # 4 x (nlay, nbnd, ncol) f32
     mu0: jax.Array,           # (ncol,)
@@ -999,7 +1045,8 @@ def sw_clear_mega(
     alb_dir: jax.Array,       # (nbnd, ncol)
     alb_dif: jax.Array,       # (nbnd, ncol)
     kilv: jax.Array,          # (3*rows, W) bf16 interleaved kmajor table
-    ray_stack: jax.Array,     # (2*ray_rows, neta*G) bf16 [hi; lo]
+    ray_ilv: jax.Array,       # (4*rps, neta*G) bf16 hi/lo row-interleaved
+                              # Rayleigh table (PallasGasTables.ray_ilv)
     minor_stack: tuple,
     minor_proj: tuple,
     inc_flux_diffuse: jax.Array | None,
@@ -1030,11 +1077,14 @@ def sw_clear_mega(
     minor_ntp: int,
     slab: int,
     block_cols: int = 128,
+    ray_win: int | None = None,
 ):
     """Whole SW two-stream solve (clear / McICA-cloudy / aerosol) in one
     kernel; returns (flux_up, flux_dn, flux_dn_dir), each (nlev, ncol) f32,
     spectrally reduced (+ McICA cloud cover (ncol,) when cld_frac is given).
-    Night-column zeroing is the caller's job."""
+    Night-column zeroing is the caller's job. ray_win (static, from
+    compute_ray_window) bounds the per-layer Rayleigh-table contraction;
+    None = full table (always safe)."""
     has_cloud = cld_bands is not None
     has_aero = aero_bands is not None
     gen_mask = cld_frac is not None
@@ -1107,12 +1157,13 @@ def sw_clear_mega(
     full = lambda arr: pl.BlockSpec(arr.shape, lambda c, *_: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
     npk = pack.shape[1]
-    ray_rows = ray_stack.shape[0] // 2
+    if ray_win is None:
+        ray_win = ray_ilv.shape[0]
     kernel = functools.partial(
         _sw_mega_kernel,
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
         minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-        slab=slab, ray_rows=ray_rows, has_cloud=has_cloud, has_aero=has_aero,
+        slab=slab, ray_win=ray_win, has_cloud=has_cloud, has_aero=has_aero,
         gen_mask=gen_mask, n_gpt=n_gpt,
     )
     mask_spec = pl.BlockSpec(
@@ -1129,7 +1180,7 @@ def sw_clear_mega(
     cover_spec = pl.BlockSpec((block_cols, 8), lambda c, *_: (c, 0), memory_space=pltpu.VMEM)
     out_specs = (red_spec, red_spec, red_spec) + ((cover_spec,) if gen_mask else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 if gen_mask else 1,
+        num_scalar_prefetch=3 if gen_mask else 2,
         grid=(nblk,),
         in_specs=[
             lay3(npk),
@@ -1139,7 +1190,7 @@ def sw_clear_mega(
         + cloud_specs
         + [
             pl.BlockSpec(memory_space=pl.ANY),
-            full(ray_stack),
+            full(ray_ilv),
             full(m2), full(m5),
         ]
         + [full(k) for k in minor_stack]
@@ -1164,7 +1215,7 @@ def sw_clear_mega(
     ) + (
         (jax.ShapeDtypeStruct((ncol, 8), jnp.float32),) if gen_mask else ()
     )
-    scalars = (q_base,) + (
+    scalars = (q_base, jnp.asarray(ray_base, jnp.int32)) + (
         (
             jnp.stack([
                 jnp.asarray(cld_seed, jnp.int32),
@@ -1179,7 +1230,7 @@ def sw_clear_mega(
         interpret=_interpret(),
     )(
         *scalars, pack, *eta_ops, mu0_2d, toa, alb_dir, alb_dif, inc,
-        *cloud_ops, kilv, ray_stack, m2, m5, *minor_stack, *minor_proj,
+        *cloud_ops, kilv, ray_ilv, m2, m5, *minor_stack, *minor_proj,
     )
     fluxes = tuple(o.T for o in out[:3])
     if gen_mask:
@@ -1334,14 +1385,20 @@ def _lw2_mega_kernel(
         # storing them saves the per-element divide in phase 2
         return alb_n, src_n, Rdif * denom, td, src_dn * denom
 
+    inv = _phase_inv(
+        b_cols, mk_stack, window=window, n_eta=n_eta,
+        minor_groups=minor_groups, minor_ntp=minor_ntp, with_rayleigh=False,
+        ray_win=0,
+    )
+
     def optics_step(l, carry):
         pf_prev, tau_p, ssa_p, g_p, lev_p, alb_c, src_c = carry
         tau, pf = _optics_phase(
             l, qb_ref, pack_ref, loc1_ref, cm1_ref, loc2_ref, cm2_ref, m2, m5,
-            kilv_tab, mk_stack, mk_proj, None,
+            kilv_tab, mk_stack, mk_proj, None, inv,
             window=window, n_eta=n_eta, npad=npad, n_tables=2, sw=sw,
             minor_groups=minor_groups, scal_offs=scal_offs, minor_ntp=minor_ntp,
-            with_rayleigh=False, ray_rows=0, slab=slab,
+            with_rayleigh=False, slab=slab,
         )
         if has_cloud:
             tc = expand(ctau_ref[l].T)

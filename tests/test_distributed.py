@@ -7,6 +7,12 @@ global arrays via parallel.distributed.globalize, runs the column-sharded
 solve, and checks its local output shards against a full single-device
 reference computed independently — the multi-host analogue of the
 sharded-vs-single equivalence test (SURVEY.md section 7 step 6).
+
+Scope: this validates the globalize/column-range plumbing and SPMD
+numerical equivalence of the multi-process code path. It is two processes
+on ONE box over local loopback — it does not (and cannot, in this
+environment) exercise DCN transport, pod-scale init robustness, or real
+multi-chip ICI behavior.
 """
 
 import os

@@ -106,3 +106,33 @@ def test_solver_level_detection(setup):
     assert s.check_window() is False
     flux = s.update_lw_fluxes()
     assert bool(jnp.all(jnp.isnan(flux.flux_up)))
+
+
+def test_sw_ray_window_bitwise_and_guard(setup):
+    """The windowed Rayleigh contraction (pallas_ray_window, interleaved
+    hi/lo rows) selects the SAME table rows as the full-table dot — fluxes
+    must match BITWISE — and a too-small window NaN-poisons like the
+    q-window guard."""
+    from rrtmgp_tpu.ops.gas_optics_pallas import compute_ray_window
+
+    lkp, lkp_sw, atm, _, bcs_sw = setup
+    tabs = build_pallas_tables(lkp_sw)
+    win = compute_min_window(lkp_sw, atm, mega=True)
+    rw = compute_ray_window(lkp_sw, atm)
+    full = tabs.ray_ilv.shape[0]
+    assert rw < full  # the synthetic atmosphere's per-layer spread is narrow
+
+    def solve(ray_window):
+        return solve_sw(
+            lkp_sw, atm, bcs_sw, pallas_tables=tabs, pallas_windowed="force",
+            pallas_window=win, pallas_ray_window=ray_window,
+        )[0]
+
+    f_win = jax.jit(solve, static_argnums=0)(rw)
+    f_full = jax.jit(solve, static_argnums=0)(None)
+    for a, b in zip(f_win, f_full):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # deliberately insufficient window: loud failure, not wrong numbers
+    f_bad = jax.jit(solve, static_argnums=0)(8)
+    assert bool(jnp.all(jnp.isnan(f_bad.flux_up)))
