@@ -78,6 +78,7 @@ def measure() -> dict:
         from rrtmgp_tpu.ops.gas_optics_pallas import (
             build_pallas_tables,
             compute_min_window,
+            compute_planck_window,
             compute_ray_window,
         )
 
@@ -88,10 +89,11 @@ def measure() -> dict:
         win_lw = compute_min_window(lkp_lw, atm, mega=True)
         win_sw = compute_min_window(lkp_sw, atm, mega=True)
         ray_win = compute_ray_window(lkp_sw, atm)
+        plk_win = compute_planck_window(lkp_lw, atm)
     else:
         tabs_lw = tabs_sw = None
         win_lw = win_sw = 96
-        ray_win = None
+        ray_win = plk_win = None
 
     from rrtmgp_tpu.utils.compile import sweep_block_cols, tpu_compiler_options
 
@@ -103,6 +105,7 @@ def measure() -> dict:
         lambda a, b: solve_lw(
             lkp_lw, a, b, pallas_tables=tabs_lw, pallas_windowed="force",
             pallas_window=win_lw, pallas_sweep_cols=scols,
+            pallas_planck_window=plk_win,
         )[0],
         compiler_options=copts,
     )

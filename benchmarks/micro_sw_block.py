@@ -98,7 +98,7 @@ def main():
 
     def run_lw(block):
         window = min(win_lw, tabs_lw.fused_ilv.shape[0])
-        (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups, offs
+        (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups, offs, _
          ) = mega_lw_inputs(lkp_lw, tabs_lw, atm, window)
 
         def f(pack3, eta3, plk_lay, plk_lev, plk_sfc, emis):

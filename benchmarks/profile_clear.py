@@ -32,7 +32,7 @@ def main():
     from rrtmgp_tpu.data.synthetic import synthetic_atmosphere, synthetic_gas_lookup
     from rrtmgp_tpu.models.rrtmgp import solve_lw, solve_sw
     from rrtmgp_tpu.states import LwBCs, SwBCs
-    from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables, compute_min_window
+    from rrtmgp_tpu.ops.gas_optics_pallas import build_pallas_tables, compute_min_window, compute_planck_window, compute_ray_window
     from rrtmgp_tpu.utils.compile import sweep_block_cols, tpu_compiler_options
 
     dtype = np.float32
@@ -50,12 +50,15 @@ def main():
     tabs_sw = build_pallas_tables(lkp_sw)
     win_lw = compute_min_window(lkp_lw, atm, mega=True)
     win_sw = compute_min_window(lkp_sw, atm, mega=True)
+    plk_win = compute_planck_window(lkp_lw, atm)
+    ray_win = compute_ray_window(lkp_sw, atm)
     copts = tpu_compiler_options()
     scols = sweep_block_cols()
     f_lw = jax.jit(
         lambda a, b: solve_lw(
             lkp_lw, a, b, pallas_tables=tabs_lw, pallas_windowed="force",
             pallas_window=win_lw, pallas_sweep_cols=scols,
+            pallas_planck_window=plk_win,
         )[0],
         compiler_options=copts,
     )
@@ -63,6 +66,7 @@ def main():
         lambda a, b: solve_sw(
             lkp_sw, a, b, pallas_tables=tabs_sw, pallas_windowed="force",
             pallas_window=win_sw, pallas_sweep_cols=scols,
+            pallas_ray_window=ray_win,
         )[0],
         compiler_options=copts,
     )

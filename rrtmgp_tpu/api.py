@@ -323,14 +323,19 @@ class RRTMGPSolver:
         self._pallas_sw = tabs_sw
         self._win_lw = win_lw
         self._win_sw = win_sw
-        ray_win = None
+        ray_win = plk_win = None
         if use_pallas:
-            from .ops.gas_optics_pallas import compute_ray_window
+            from .ops.gas_optics_pallas import (
+                compute_planck_window,
+                compute_ray_window,
+            )
 
             # +8 margin mirrors the q-window margin (one extra 8-row tile of
             # p/t drift headroom before the in-jit guard trips)
             ray_win = compute_ray_window(lk.lookup_sw, self.as_) + 8
+            plk_win = compute_planck_window(lk.lookup_lw, self.as_) + 8
         self._ray_win_sw = ray_win
+        self._plk_win_lw = plk_win
         copts = tpu_compiler_options()
         scols = sweep_block_cols()
 
@@ -381,6 +386,7 @@ class RRTMGPSolver:
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
                 n_gauss_angles=nga,
                 pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols,
+                pallas_planck_window=plk_win,
                 pallas_windowed=wmode, aero_species=aspec, metric_scaling=mscale,
             )
 
@@ -404,7 +410,8 @@ class RRTMGPSolver:
                     lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero,
                     cld_mask_seed=seed, col_offset=col_ids[0],
                     pallas_tables=tabs_lw, pallas_window=win_lw,
-                    pallas_sweep_cols=scols, pallas_windowed=wmode,
+                    pallas_sweep_cols=scols, pallas_planck_window=plk_win,
+                    pallas_windowed=wmode,
                     aero_species=aspec, metric_scaling=mscale,
                 )
 

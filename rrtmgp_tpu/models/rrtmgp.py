@@ -331,6 +331,9 @@ def solve_lw(
     pallas_windowed: str = "auto",       # gas_optics_pallas windowed mode
     pallas_window: int = 96,             # static table-row window (see
                                          # gas_optics_pallas.compute_min_window)
+    pallas_planck_window: int | None = None,  # static totplnk window
+                                         # (gas_optics_pallas.compute_planck_window);
+                                         # None = full table. Guarded in-jit.
     pallas_sweep_cols: int = 16,         # RTE sweep column block; 128 on TPU
                                          # with utils.compile.tpu_compiler_options
     aero_species: tuple | None = None,   # STATIC active MERRA species indices
@@ -404,9 +407,11 @@ def solve_lw(
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         (q_base, pack3, eta3, _, plk_lev, plk_sfc, groups_static,
-         scal_offs) = mega_lw_inputs(
-            lkp, pallas_tables, as_, window, need_lay=False
+         scal_offs, plk_ok) = mega_lw_inputs(
+            lkp, pallas_tables, as_, window, need_lay=False,
+            planck_window=pallas_planck_window,
         )
+        win_ok = jnp.logical_and(win_ok, plk_ok)
         cld_b3 = None
         gen = lkp_cld is not None and cld_mask is None
         if lkp_cld is not None:
@@ -457,7 +462,11 @@ def solve_lw(
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
-         scal_offs) = mega_lw_inputs(lkp, pallas_tables, as_, window)
+         scal_offs, plk_ok) = mega_lw_inputs(
+            lkp, pallas_tables, as_, window,
+            planck_window=pallas_planck_window,
+        )
+        win_ok = jnp.logical_and(win_ok, plk_ok)
         cld_b3 = None
         gen = lkp_cld is not None and cld_mask is None
         if lkp_cld is not None:

@@ -85,6 +85,8 @@ class PallasGasTables:
     totplnk_hi: jax.Array | None
     totplnk_lo: jax.Array | None
     totplnk_t: jax.Array | None   # (nbnd_pad, 3*rows_pad) bf16 [hi | hi | lo]
+    totplnk_rows: jax.Array | None  # (3*rows_pad, nbnd_pad) bf16 row-
+                                    # interleaved (windowed Planck kernel)
     minor_groups: tuple  # static: (side, gpt0, gpt1, (MinorInterval, ...)) per group
     minor_ntp: int       # padded temperature rows per interval
     fused_n_tables: int  # 2 = kmajor+planck (LW), 1 = kmajor only (SW)
@@ -221,7 +223,7 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
     fused_ilv = jnp.stack([fused_hi, fused_lo, fused_hi], axis=1).reshape(
         3 * fused_hi.shape[0], -1
     )
-    totplnk_hi = totplnk_lo = totplnk_t = None
+    totplnk_hi = totplnk_lo = totplnk_t = totplnk_rows = None
     if lkp.planck_fraction is not None:
         tp = jnp.asarray(lkp.totplnk, jnp.float32)  # (n_t_plnk, nbnd)
         rpad = -(-tp.shape[0] // 8) * 8
@@ -234,6 +236,12 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         tpt_lo = (tpt - tpt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         # [hi | hi | lo] lane-stack pairs with the kernel's [w_hi; w_lo; w_hi]
         totplnk_t = jnp.concatenate([tpt_hi, tpt_hi, tpt_lo], axis=1)
+        # row-interleaved variant for the WINDOWED Planck kernel: row
+        # 3r+sec over temp nodes r, sections [hi, hi, lo] pairing with
+        # one-hot weights [w_hi, w_lo, w_hi]; a per-block window is then a
+        # contiguous 3*wr row slice (see planck_band_windowed)
+        totplnk_rows = jnp.stack([totplnk_hi, totplnk_hi, totplnk_lo], axis=1)
+        totplnk_rows = totplnk_rows.reshape(3 * totplnk_hi.shape[0], -1)
     return PallasGasTables(
         kmajor_hi=kmajor_hi,
         kmajor_lo=kmajor_lo,
@@ -261,6 +269,7 @@ def build_pallas_tables(lkp: GasLookup) -> PallasGasTables:
         totplnk_hi=totplnk_hi,
         totplnk_lo=totplnk_lo,
         totplnk_t=totplnk_t,
+        totplnk_rows=totplnk_rows,
         minor_groups=tuple(group_meta),
         minor_ntp=ntp,
         fused_n_tables=fused_n,
@@ -548,6 +557,32 @@ def compute_min_window(
     return min(-(-req // 16) * 16, n_rows)
 
 
+def compute_planck_window(lkp: GasLookup, as_: AtmosphericState) -> int:
+    """Smallest safe per-block totplnk window (temp-node rows, static kernel
+    shape; see compute_min_window for the contract). Blocks are 512-long
+    flattened (lay, col) runs of t_lay / t_lev / t_sfc — their node span is
+    the across-column temperature spread at one layer."""
+    n_t = int(lkp.totplnk.shape[0])
+    rows_pad = -(-n_t // 8) * 8
+    t_min = float(lkp.t_planck_min)
+    t_delta = float(lkp.t_planck_delta)
+    req = 0
+    for t in (as_.t_lay, as_.t_lev, as_.t_sfc):
+        flat = jnp.ravel(t).astype(jnp.float32)
+        n = flat.shape[0]
+        npad = -(-n // 2048) * 2048
+        blocks = jnp.pad(flat, (0, npad - n), mode="edge").reshape(-1, 2048)
+        j = jnp.clip(jnp.floor((blocks - t_min) / t_delta), 0, n_t - 2).astype(
+            jnp.int32
+        )
+        base = jnp.clip((jnp.min(j, axis=1) // 8) * 8, 0, None)
+        req = max(req, int(jnp.max(jnp.max(j, axis=1) + 2 - base)))
+    for bucket in (16, 24, 32, 48, 64, 96, 128):
+        if req <= bucket <= rows_pad:
+            return bucket
+    return rows_pad
+
+
 def compute_ray_window(lkp: GasLookup, as_: AtmosphericState) -> int:
     """Smallest safe Rayleigh-table window (interleaved-row space, static
     kernel shape; see compute_min_window for the contract). The span depends
@@ -700,13 +735,17 @@ def _planck_sources_pallas(lkp, tables, as_, pfrac, need_lay=True):
 def mega_lw_inputs(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
     need_lay: bool = True,
+    planck_window: int | None = None,
 ):
     """Inputs for ops.pallas_mega.lw_clear_mega: pack/eta operands in
     layer-leading layout, band-leading Planck values, static minor metadata.
 
     Requires ncol to be a multiple of the mega block (caller checks). The
     window invariant is the caller's responsibility (windowed="force"
-    semantics; see compute_min_window)."""
+    semantics; see compute_min_window). planck_window (static temp-node rows;
+    see compute_planck_window) dispatches the windowed band-Planck kernel;
+    the returned plk_ok bool is False when any block's span overflows it
+    (callers poison like the optics guards)."""
     from .pallas_mega import planck_band_pallas_t
 
     block = 128
@@ -732,7 +771,20 @@ def mega_lw_inputs(
         t_delta=float(lkp.t_planck_delta),
         nbp_sub=nbp,
     )
-    bp = lambda t: planck_band_pallas_t(t.reshape(-1), tables.totplnk_t, **kw)
+    plk_ok = jnp.asarray(True)
+    if planck_window is not None:
+        from .pallas_mega import planck_band_windowed
+
+        def bp(t):
+            nonlocal plk_ok
+            r, ok = planck_band_windowed(
+                t.reshape(-1), tables.totplnk_rows, wr=planck_window, **kw
+            )
+            plk_ok = jnp.logical_and(plk_ok, ok)
+            return r
+
+    else:
+        bp = lambda t: planck_band_pallas_t(t.reshape(-1), tables.totplnk_t, **kw)
     plk_lay = (
         jnp.swapaxes(bp(as_.t_lay).reshape(nbp, nlay, ncol), 0, 1)
         if need_lay
@@ -742,7 +794,7 @@ def mega_lw_inputs(
     plk_sfc = bp(as_.t_sfc)
     return (
         q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc,
-        groups_static, scal_offs,
+        groups_static, scal_offs, plk_ok,
     )
 
 

@@ -162,6 +162,99 @@ def planck_band_pallas_t(
     return out[:, :n]
 
 
+def _planck_band_w_kernel(
+    base_ref, t_ref, tpr_ref, out_ref, *, n_t, t_min, t_delta, wr, nbp_sub,
+):
+    """Windowed band-Planck: contract a per-BLOCK 3*wr row slice of the
+    row-interleaved table (row 3r+sec, sections [hi, hi, lo] paired with
+    weights [w_hi, w_lo, w_hi]) instead of the full 3*rows_pad K. Blocks are
+    contiguous flattened (lay, col) runs, so their temperature spread is the
+    across-column spread at one layer — a handful of nodes. K drops ~12x;
+    the base rides scalar prefetch (data-dependent, computed in-jit by the
+    caller together with the window-validity bool)."""
+    # all per-temperature math stays in (1, B) ROW vectors (4 vregs) — (B, 1)
+    # column vectors cost 64 vregs/op and tripled the kernel in a first cut
+    t = t_ref[:]  # (1, B)
+    loc = (t - t_min) / t_delta
+    j = jnp.clip(jnp.floor(loc), 0, n_t - 2)
+    f = jnp.clip(loc - j, 0.0, 1.0)
+    b = t.shape[1]
+    base = pl.multiple_of(base_ref[pl.program_id(0)], 8)
+    jr = 3.0 * (j - base.astype(jnp.float32))  # window row of node j, sec 0
+    omf = 1.0 - f
+    omf_h = omf.astype(jnp.bfloat16).astype(jnp.float32)
+    f_h = f.astype(jnp.bfloat16).astype(jnp.float32)
+    vals = ((omf_h, omf - omf_h, omf_h), (f_h, f - f_h, f_h))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (3 * wr, b), 0).astype(jnp.float32)
+    w = jnp.zeros((3 * wr, b), jnp.float32)
+    for node in (0, 1):
+        for sec in (0, 1, 2):
+            w = w + jnp.where(iota == jr + (3 * node + sec), vals[node][sec], 0.0)
+    # bf16 transposes miscompile on v5e (CLAUDE.md): round-trip the small
+    # (3*wr, nbnd_pad) window slice through f32 for the transpose
+    tw = tpr_ref[pl.ds(3 * base, 3 * wr)].astype(jnp.float32)
+    r = jnp.dot(
+        tw.T.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (nbnd_pad, B)
+    out_ref[:] = r[: out_ref.shape[0]]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_t", "t_min", "t_delta", "nbp_sub", "wr",
+                              "block_rows")
+)
+def planck_band_windowed(
+    t: jax.Array,       # (N,) temperatures
+    tp_rows: jax.Array, # (3*rows_pad, nbnd_pad) bf16 row-interleaved
+    *,
+    n_t: int,
+    t_min: float,
+    t_delta: float,
+    nbp_sub: int,
+    wr: int,            # static per-block temp-node window (8-row multiple)
+    block_rows: int = 2048,
+):
+    """Windowed band-LEADING Planck emission: (nbp_sub, N) f32 plus a ()
+    bool that is True iff every block's node span fits wr (callers poison
+    on violation, like the optics window guards)."""
+    n = t.shape[0]
+    np_rows = -(-n // block_rows) * block_rows
+    t2 = jnp.pad(t.astype(jnp.float32), (0, np_rows - n), mode="edge").reshape(1, np_rows)
+    rows_pad = tp_rows.shape[0] // 3
+    nblk = np_rows // block_rows
+    # per-block window bases (8-aligned) + validity, from the same j math
+    loc = (t2.reshape(nblk, block_rows) - t_min) / t_delta
+    j = jnp.clip(jnp.floor(loc), 0, n_t - 2).astype(jnp.int32)
+    j_min = jnp.min(j, axis=1)
+    j_max = jnp.max(j, axis=1)
+    base = jnp.clip((j_min // 8) * 8, 0, max(rows_pad - wr, 0)).astype(jnp.int32)
+    ok = jnp.all(j_max + 2 - base <= wr)
+    kernel = functools.partial(
+        _planck_band_w_kernel, n_t=n_t, t_min=t_min, t_delta=t_delta,
+        wr=wr, nbp_sub=nbp_sub,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, block_rows), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tp_rows.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nbp_sub, block_rows), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbp_sub, np_rows), jnp.float32),
+        interpret=_interpret(),
+    )(base, t2, tp_rows)
+    return out[:, :n], ok
+
+
 # ---------------------------------------------------------------------------
 # Shared optics phase (runs inside the megakernels)
 # ---------------------------------------------------------------------------
