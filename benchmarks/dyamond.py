@@ -79,12 +79,24 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10,
         from rrtmgp_tpu.ops.gas_optics_pallas import (
             build_pallas_tables,
             compute_min_window,
+            compute_planck_window,
+            compute_ray_window,
         )
 
         tabs_lw = build_pallas_tables(lkp_lw)
         tabs_sw = build_pallas_tables(lkp_sw)
         win_lw = compute_min_window(lkp_lw, atm, mega=True)
         win_sw = compute_min_window(lkp_sw, atm, mega=True)
+        # window buckets computed on a CHUNK-shaped slice (+8 margin): the
+        # chunked solve's per-block flattening differs from the full array's
+        import jax.tree_util as jtu
+
+        atm_c = jtu.tree_map(
+            lambda x: x[..., :chunk] if hasattr(x, "ndim") and x.ndim and x.shape[-1] == ncol_pad else x,
+            atm,
+        )
+        plk_win = compute_planck_window(lkp_lw, atm_c) + 8
+        ray_win = compute_ray_window(lkp_sw, atm_c) + 8
     copts = tpu_compiler_options()
     scols = sweep_block_cols()
     # "force": the window invariant is established once from the full
@@ -93,6 +105,9 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10,
                  pallas_sweep_cols=scols, pallas_windowed="force")
     pk_sw = dict(pallas_tables=tabs_sw, pallas_window=win_sw,
                  pallas_sweep_cols=scols, pallas_windowed="force")
+    if jax.default_backend() == "tpu":
+        pk_lw["pallas_planck_window"] = plk_win
+        pk_sw["pallas_ray_window"] = ray_win
 
     lkp_cld_lw = lkp_cld_sw = lkp_aero_lw = lkp_aero_sw = None
     if mode != "clear":
@@ -171,6 +186,10 @@ def run(mode: str, ncol: int, chunk: int, nlay: int = 60, n_iters: int = 10,
             r = jax.block_until_ready(f(*args))
             times.append(time.perf_counter() - t0)
         med = statistics.median(times)
+        # window-guard violations NaN-poison fluxes — a benchmark of NaNs is
+        # not a benchmark; make that loud
+        peek = float(np.asarray(r.flux_up[0, 0]))
+        assert np.isfinite(peek), f"{name}: NaN fluxes (window guard tripped?)"
         print(
             f"{name} solve: median {med*1e3:.1f} ms -> {ncol/med:,.0f} columns/s",
             flush=True,

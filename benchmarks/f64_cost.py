@@ -20,16 +20,37 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 NCOL = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 NLAY = 60
+F32_CHILD = "--f32-child" in sys.argv
 
 
 def main() -> None:
+    # The f32 megakernels cannot be TRACED under global x64 (recursion-depth
+    # blowup — tests_tpu/conftest.py): measure the f32 reference in a child
+    # process BEFORE this process claims the exclusive TPU chip, then bench
+    # the f64 XLA fallback here with x64 on.
+    t32 = None
+    if not F32_CHILD:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, __file__, str(NCOL), "--f32-child"],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("F32_SECONDS "):
+                t32 = float(line.split()[1])
+        if t32 is None:
+            sys.stderr.write(r.stdout + r.stderr)
+            raise SystemExit("f32 child failed")
+
     from rrtmgp_tpu.utils.compile import enable_compile_cache
 
     enable_compile_cache()
 
     import jax
 
-    jax.config.update("jax_enable_x64", True)
+    if not F32_CHILD:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from rrtmgp_tpu.data.synthetic import synthetic_atmosphere, synthetic_gas_lookup
@@ -87,7 +108,9 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / n
         return dt
 
-    t32 = bench(np.float32, use_pallas=True)
+    if F32_CHILD:
+        print(f"F32_SECONDS {bench(np.float32, use_pallas=True):.6f}")
+        return
     t64 = bench(np.float64, use_pallas=False)
     print(f"f32 megakernels: {t32*1e3:8.1f} ms -> {NCOL/t32/1e3:8.1f}k cols/s")
     print(f"f64 XLA fallback: {t64*1e3:8.1f} ms -> {NCOL/t64/1e3:8.1f}k cols/s")
