@@ -68,10 +68,6 @@ def _sw_coeffs(tau, ssa, g, mu0, eps, T0=None):
 
     ektau = jnp.exp(-tau * k)
     e2ktau = ektau * ektau
-    rt = 1.0 / (k * (1.0 + e2ktau) + gamma1 * (1.0 - e2ktau))
-    Rdif = rt * gamma2 * (1.0 - e2ktau)
-    Tdif = rt * 2.0 * k * ektau
-
     if T0 is None:
         T0 = jnp.exp(-tau / jnp.maximum(mu0, eps))
     k_mu = k * mu0
@@ -82,7 +78,14 @@ def _sw_coeffs(tau, ssa, g, mu0, eps, T0=None):
         k_g4 = k * gamma4
     omk2 = 1.0 - k_mu * k_mu
     denom = jnp.where(jnp.abs(omk2) >= eps, omk2, eps)
-    rt2 = ssa * rt / denom
+    # one reciprocal serves rt AND rt2: 1/(base*denom) * denom == 1/base,
+    # * ssa == ssa/(base*denom) — saves a full-width divide per layer
+    base = k * (1.0 + e2ktau) + gamma1 * (1.0 - e2ktau)
+    inv = 1.0 / (base * denom)
+    rt = inv * denom
+    Rdif = rt * gamma2 * (1.0 - e2ktau)
+    Tdif = rt * 2.0 * k * ektau
+    rt2 = ssa * inv
     Rdir_u = rt2 * (
         (1.0 - k_mu) * (alpha2 + k_g3)
         - (1.0 + k_mu) * (alpha2 - k_g3) * e2ktau
