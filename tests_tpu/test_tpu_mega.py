@@ -47,14 +47,24 @@ def test_mega_vs_xla_flux_equivalence(ncol, solver):
     ~1e-2 W/m^2 absolute on O(300 W/m^2) fluxes (relative ~3e-5 == f32 eps
     scale) is the expected envelope; an index bug would be O(10) W/m^2.
     """
+    from rrtmgp_tpu.ops.gas_optics_pallas import (
+        compute_planck_window,
+        compute_ray_window,
+    )
+
     lkp_lw, lkp_sw, atm, bcs_lw, bcs_sw = _problem(ncol, np.float32)
     copts = tpu_compiler_options()
+    # exercise the production windowing set (q + ray/planck) on the chip —
+    # a window-index bug shows up here as O(10) W/m^2, not a tolerance blur
     if solver == "sw":
         lkp, bcs, fn = lkp_sw, bcs_sw, solve_sw
-        kw = {}
+        kw = {"pallas_ray_window": compute_ray_window(lkp_sw, atm)}
     else:
         lkp, bcs, fn = lkp_lw, bcs_lw, solve_lw
-        kw = {"two_stream": solver == "lw_2stream"}
+        kw = {
+            "two_stream": solver == "lw_2stream",
+            "pallas_planck_window": compute_planck_window(lkp_lw, atm),
+        }
     tabs = build_pallas_tables(lkp)
     win = compute_min_window(lkp, atm, mega=True)
     f_mega = jax.jit(
