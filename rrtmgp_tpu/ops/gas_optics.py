@@ -157,14 +157,26 @@ def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
     return EtaInterp(j1, f1, j2, f2, c1, c2)
 
 
-def compute_eta_interp_bl(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
+def compute_eta_interp_bl(
+    lkp: GasLookup, vmr, pt: PTInterp, nbnd_out: int | None = None
+) -> EtaInterp:
     """Band-LEADING eta interp: each field (nbnd, nlay, ncol).
 
     Same math as compute_eta_interp but with the band axis first, so every
     elementwise op runs over full 128-lane (ncol) vectors instead of
     nbnd(=14/16)-lane ones — measured ~6x faster at 8k columns on TPU v5e.
-    Used by the Pallas optics path, whose pack layout is (field, rows)."""
+    Used by the Pallas optics path, whose pack layout is (field, rows).
+
+    nbnd_out > nbnd pads the band axis INSIDE the producing fusion (dummy
+    bands duplicate band nbnd-1's key species with zero eta_half): the
+    megakernels need 8-aligned band rows, and a post-hoc jnp.pad re-copies
+    ~126 MB per operand at DYAMOND widths. Pad-row values are finite garbage;
+    consumers must mask them (the mega expand matrices' pad rows are zero)."""
     nbnd = lkp.n_bnd
+    if nbnd_out is not None and nbnd_out > nbnd:
+        mb = nbnd_out
+    else:
+        mb = nbnd
     n_eta = lkp.n_eta
     dtype = lkp.eta_half.dtype
     shape2d = pt.jtemp.shape
@@ -173,28 +185,37 @@ def compute_eta_interp_bl(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
     def vmr_stack(slot, t):
         return jnp.stack(
             [
-                jnp.broadcast_to(get_vmr(vmr, lkp.key_species[b][t][slot]), shape2d)
-                for b in range(nbnd)
+                jnp.broadcast_to(
+                    get_vmr(vmr, lkp.key_species[min(b, nbnd - 1)][t][slot]),
+                    shape2d,
+                )
+                for b in range(mb)
             ],
             axis=0,
-        ).astype(dtype)  # (nbnd, nlay, ncol)
+        ).astype(dtype)  # (mb, nlay, ncol)
 
     sel = pt.tropo_lower[None]
     vmr1 = jnp.where(sel, vmr_stack(0, 0), vmr_stack(0, 1))
     vmr2 = jnp.where(sel, vmr_stack(1, 0), vmr_stack(1, 1))
 
     # eta_half rows at (jtemp, jtemp+1) via a one-hot contraction over the
-    # tiny temperature axis, band-leading: (2*nbnd*2, ntemp) @ (ntemp, rows).
-    eh = jnp.transpose(lkp.eta_half, (2, 0, 1))
+    # tiny temperature axis, band-leading: (2*mb*2, ntemp) @ (ntemp, rows).
+    # (A joint (jtemp, tropo-slot) one-hot that halves the materialized
+    # gather was measured 3.5% SLOWER end-to-end on v5e — it broke XLA's
+    # layout-assigned free transposes into the mega operand order; keep the
+    # two-slot gather + select form.)
+    eh = jnp.transpose(lkp.eta_half, (2, 0, 1))           # (ntemp, nbnd, 2)
+    if mb != nbnd:
+        eh = jnp.pad(eh, ((0, 0), (0, mb - nbnd), (0, 0)))
     ntemp = eh.shape[0]
-    eh2 = eh.reshape(ntemp, -1)                           # (ntemp, nbnd*2)
+    eh2 = eh.reshape(ntemp, -1)                           # (ntemp, mb*2)
     eh_cat = jnp.concatenate([eh2, jnp.roll(eh2, -1, axis=0)], axis=1)
     iota_t = jnp.arange(ntemp, dtype=jnp.int32)
     w_t = (pt.jtemp.reshape(-1)[None] == iota_t[:, None]).astype(eh2.dtype)
     ehg_both = jax.lax.dot_general(
         eh_cat.T, w_t, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(2, nbnd, 2, nlay, ncol)  # (itemp*nb2 order: itemp, band, slot)
+    ).reshape(2, mb, 2, nlay, ncol)  # (itemp*nb2 order: itemp, band, slot)
 
     outs = []
     for itemp in (0, 1):

@@ -349,14 +349,19 @@ def _interp_table(
     return out.reshape(nlay, ncol_pad, lkp.n_gpt)
 
 
-def _prep(lkp: GasLookup, as_: AtmosphericState, block: int):
+def _prep(lkp: GasLookup, as_: AtmosphericState, block: int, band_pad: bool = False):
     """Shared per-solve preprocessing: pt/eta data, padded to block multiple.
 
     Eta data is band-LEADING — each EtaInterp field (nbnd, nlay, ncol_pad) —
     so the pack rows are plain reshapes (no strided transposes) and the eta
-    arithmetic runs on full 128-lane vectors."""
+    arithmetic runs on full 128-lane vectors. band_pad (mega callers) pads
+    the eta band axis to 8-aligned rows inside the producing fusion, so the
+    megakernels' pad_band is a no-op (saves 4 x ~126 MB HBM pad copies per
+    SW solve; the kernels' expand-matrix pad rows are zero, masking the
+    dummy-band values)."""
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    eta = compute_eta_interp_bl(lkp, as_.vmr, pt)
+    nbnd_out = -(-lkp.n_bnd // 8) * 8 if band_pad else None
+    eta = compute_eta_interp_bl(lkp, as_.vmr, pt, nbnd_out=nbnd_out)
     ncol = as_.ncol
     ncol_pad = -(-ncol // block) * block
     padp = lambda x: _pad_cols(x, ncol_pad)
@@ -513,10 +518,14 @@ def _build_pack(lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, with_ray):
             cols.append(interval_scaling(itv, mask).reshape(1, rows))
             off += 1
         groups_static.append((g0, g1, len(entries), int(g2b[g0])))
+    # 8-row alignment by appending zero rows INTO the concat (a post-hoc
+    # jnp.pad re-copies the whole ~126 MB pack at DYAMOND widths; zero
+    # broadcast pieces are written directly by the same concat)
+    npk = len(cols)
+    wpad = -(-npk // 8) * 8
+    if wpad != npk:
+        cols.append(jnp.zeros((wpad - npk, rows), dtype))
     pack_t = jnp.concatenate(cols, axis=0)
-    wpad = -(-pack_t.shape[0] // 8) * 8
-    if wpad != pack_t.shape[0]:
-        pack_t = jnp.pad(pack_t, ((0, wpad - pack_t.shape[0]), (0, 0)))
     return pack_t, eta_ops, tuple(groups_static), tuple(scal_offs)
 
 
@@ -749,7 +758,9 @@ def mega_lw_inputs(
     from .pallas_mega import planck_band_pallas_t
 
     block = 128
-    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(
+        lkp, as_, block, band_pad=True
+    )
     assert ncol == ncol_pad, (ncol, ncol_pad)
     nlay = as_.nlay
     pack_t, eta_ops, groups_static, scal_offs = _build_pack(
@@ -808,7 +819,9 @@ def mega_sw_inputs(
     (the minimum mega block), which any larger block divides. ray_window
     (interleaved Rayleigh rows; see compute_ray_window) defaults to the full
     table; when given, also returns the per-layer ray window bases."""
-    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, 128)
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(
+        lkp, as_, 128, band_pad=True
+    )
     assert ncol == ncol_pad, (ncol, ncol_pad)
     nlay = as_.nlay
     pack_t, eta_ops, groups_static, scal_offs = _build_pack(
