@@ -101,31 +101,37 @@ def measure() -> dict:
     scols = sweep_block_cols()
     # the synthetic pressure grid satisfies the per-layer window invariant;
     # "force" skips the runtime fallback cond (saves operand copies)
-    f_lw = jax.jit(
-        lambda a, b: solve_lw(
+    def f_lw_raw(a, b):
+        return solve_lw(
             lkp_lw, a, b, pallas_tables=tabs_lw, pallas_windowed="force",
             pallas_window=win_lw, pallas_sweep_cols=scols,
             pallas_planck_window=plk_win,
-        )[0],
-        compiler_options=copts,
-    )
-    f_sw = jax.jit(
-        lambda a, b: solve_sw(
+        )[0]
+
+    def f_sw_raw(a, b):
+        return solve_sw(
             lkp_sw, a, b, pallas_tables=tabs_sw, pallas_windowed="force",
             pallas_window=win_sw, pallas_sweep_cols=scols,
             pallas_ray_window=ray_win,
-        )[0],
+        )[0]
+
+    f_lw = jax.jit(f_lw_raw, compiler_options=copts)
+    f_sw = jax.jit(f_sw_raw, compiler_options=copts)
+    # ONE jitted program per radiation step (LW + SW), matching the solver's
+    # update_fluxes() production path — separate jits pay a measured host
+    # dispatch gap between them (~6.4 ms at 8k cols, proportionally smaller
+    # but nonzero at this batch; profile_allsky r3)
+    f_pair = jax.jit(
+        lambda a, bl, bs: (f_lw_raw(a, bl), f_sw_raw(a, bs)),
         compiler_options=copts,
     )
 
     # warm-up / compile, then one full untimed rep: the first post-compile
     # iterations run ~1.5x slow (table DMA warm-up + tunnel effects, measured)
     # and would contaminate the first timed rep
-    jax.block_until_ready(f_lw(atm, bcs_lw))
-    jax.block_until_ready(f_sw(atm, bcs_sw))
+    jax.block_until_ready(f_pair(atm, bcs_lw, bcs_sw))
     for _ in range(ITERS):
-        flw = f_lw(atm, bcs_lw)
-        fsw = f_sw(atm, bcs_sw)
+        flw, fsw = f_pair(atm, bcs_lw, bcs_sw)
     # readback, not just block_until_ready: the tunnel can ack the latter
     # early, bleeding ~half the warm-up's queued work into the first timed rep
     float(np.asarray(flw.flux_up[0, 0])) + float(np.asarray(fsw.flux_up[0, 0]))
@@ -134,8 +140,7 @@ def measure() -> dict:
     for _ in range(REPS):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            flw = f_lw(atm, bcs_lw)
-            fsw = f_sw(atm, bcs_sw)
+            flw, fsw = f_pair(atm, bcs_lw, bcs_sw)
         jax.block_until_ready((flw, fsw))
         # host readback pins the clock (tunnel can ack early on tiny tails)
         float(np.asarray(flw.flux_up[0, 0])) + float(np.asarray(fsw.flux_up[0, 0]))
@@ -182,13 +187,29 @@ def measure() -> dict:
         ) + acct.mega_mxu_flops(
             lkp_sw, tabs_sw, win_sw, NCOL, NLAY, with_rayleigh=True
         )
+        flops_alg = acct.algorithmic_flops(
+            lkp_lw, NCOL, NLAY, longwave=True, two_stream=False
+        ) + acct.algorithmic_flops(
+            lkp_sw, NCOL, NLAY, longwave=False, two_stream=True
+        )
         result.update(
             {
                 # issued MXU dot FLOPs (incl. one-hot/padding lanes, excl. all
-                # VPU work) / time / bf16 peak: whole-solve MXU occupancy
-                "mfu": round(flops / dt / (acct.V5E_BF16_TFLOPS * 1e12), 4),
+                # VPU work) / time / bf16 peak: a lower bound on MXU
+                # OCCUPANCY, not a statement of useful-FLOP utilization —
+                # that is mfu_algorithmic below
+                "mfu_issued_mxu": round(
+                    flops / dt / (acct.V5E_BF16_TFLOPS * 1e12), 4
+                ),
+                # physics-required FLOPs only (no one-hot/expand/padding
+                # lanes; utils/perf_accounting.algorithmic_flops conventions)
+                # / time / bf16 peak: how much of the chip the ALGORITHM uses
+                "mfu_algorithmic": round(
+                    flops_alg / dt / (acct.V5E_BF16_TFLOPS * 1e12), 4
+                ),
                 "pct_of_hbm_roofline": round(100.0 * t_bw / dt, 2),
                 "mxu_dot_tflop_per_step": round(flops / 1e12, 4),
+                "algorithmic_tflop_per_step": round(flops_alg / 1e12, 4),
             }
         )
     return result

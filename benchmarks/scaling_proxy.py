@@ -122,6 +122,49 @@ def main() -> None:
         print(f"    N={n_chips}: per-chip batch {nc:6d} -> {cps/1e3:8.1f}k cols/s/chip"
               f"  ({100*cps/t1:.1f}% of N=1 rate)")
 
+    # (b2) the REALISTIC per-step unit: fused LW+SW pair in ONE jit (the
+    # update_fluxes() production path; the separate-jit dispatch gap is what
+    # hurt small batches in the round-3 curve)
+    from rrtmgp_tpu.data.synthetic import synthetic_gas_lookup as _sgl
+    from rrtmgp_tpu.models.rrtmgp import solve_sw
+    from rrtmgp_tpu.states import SwBCs
+
+    lkp_sw = _sgl(longwave=False, n_gpt=224, n_bnd=14, seed=1, dtype=dtype)
+    tabs_sw = build_pallas_tables(lkp_sw)
+    print("(b2) fused LW+SW pair (one jit/step, update_fluxes path):")
+    t1 = None
+    for n_chips in (1, 2, 4, 8):
+        nc = NCOL // n_chips
+        a = synthetic_atmosphere(ncol=nc, nlay=NLAY, dtype=dtype)
+        bl = LwBCs(sfc_emis=jnp.full((16, nc), 0.98, jnp.float32))
+        bs = SwBCs(
+            cos_zenith=jnp.full((nc,), 0.6, jnp.float32),
+            toa_flux=jnp.full((nc,), 1361.0, jnp.float32),
+            sfc_alb_direct=jnp.full((14, nc), 0.2, jnp.float32),
+            sfc_alb_diffuse=jnp.full((14, nc), 0.2, jnp.float32),
+        )
+        w = compute_min_window(lkp, a, mega=True)
+        w_sw = compute_min_window(lkp_sw, a, mega=True)
+
+        def pair_n(a_, bl_, bs_):
+            return (
+                solve_lw(
+                    lkp, a_, bl_, pallas_tables=tabs, pallas_windowed="force",
+                    pallas_window=w, pallas_sweep_cols=scols,
+                )[0],
+                solve_sw(
+                    lkp_sw, a_, bs_, pallas_tables=tabs_sw,
+                    pallas_windowed="force", pallas_window=w_sw,
+                    pallas_sweep_cols=scols,
+                )[0],
+            )
+
+        t = timeit(jax.jit(pair_n, compiler_options=copts), a, bl, bs)
+        cps = nc / t
+        t1 = t1 or cps
+        print(f"    N={n_chips}: per-chip batch {nc:6d} -> {cps/1e3:8.1f}k cols/s/chip"
+              f"  ({100*cps/t1:.1f}% of N=1 rate)")
+
     # (c) host->HBM table staging (one-time, per init)
     host_tabs = jax.tree_util.tree_map(np.asarray, tabs)
     t0 = time.perf_counter()

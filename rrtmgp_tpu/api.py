@@ -222,6 +222,7 @@ class RRTMGPSolver:
         mesh=None,
         use_pallas: bool | None = None,
         metric_scaling=None,
+        eta_node_mode: str = "continuous",
     ):
         self.grid_params = grid_params
         self.radiation_method = radiation_method
@@ -262,6 +263,11 @@ class RRTMGPSolver:
         # loads (indices into api_methods-style aerosol_names order); species
         # outside the set are skipped at trace time. None = all 15.
         self.aero_species = aero_species
+        # eta grid-node semantics (ops.gas_optics.ETA_NODE_MODES): default
+        # "continuous" (node-continuous interpolation); "reference" reproduces
+        # the reference's full-cell jump at exact eta nodes — REQUIRED for
+        # golden parity runs against the Fortran reference fluxes.
+        self.eta_node_mode = eta_node_mode
         if lookups is None:
             import numpy as np
 
@@ -307,7 +313,12 @@ class RRTMGPSolver:
         tabs_lw = tabs_sw = None
         win_lw = win_sw = 96
         on_tpu = jax.default_backend() == "tpu"
-        use_pallas = self.use_pallas if self.use_pallas is not None else on_tpu
+        # the Pallas kernel tier is f32-only; an f64 solver goes straight to
+        # the exact-precision XLA path (with f64 auto-chunking below) instead
+        # of building kernel tables it would warn about and ignore
+        use_pallas = self.use_pallas if self.use_pallas is not None else (
+            on_tpu and jnp.dtype(self.grid_params.dtype) == jnp.float32
+        )
         if use_pallas:
             from .ops.gas_optics_pallas import build_pallas_tables, compute_min_window
 
@@ -353,6 +364,39 @@ class RRTMGPSolver:
         # ncol must already satisfy per-shard alignment).
         ncol0 = int(self.as_.ncol)
         mesh = self.mesh
+
+        # f64 auto-chunking: the f64 path has no Pallas tier, so it
+        # materializes the (nlay, ncol, ngpt) spectral tensors — ~34
+        # tensor-equivalents per solve (measured, PARITY.md), i.e. ~4 MB per
+        # column at 60 lay x 256 gpt. Above a memory budget (default 8 GB,
+        # override $RRTMGP_CHUNK_BUDGET_GB) the solves route through
+        # solve_chunked automatically so DYAMOND-scale f64 runs work
+        # unmodified (the reference runs f64 first-class,
+        # /root/reference/test/runtests.jl:27-30). McICA stays bitwise
+        # chunk-invariant (global-column keying, solve_chunked contract).
+        self.auto_chunk: int | None = None
+        dt = jnp.dtype(self.grid_params.dtype)
+        if mesh is None and dt == jnp.float64:
+            import os as _os
+            import warnings as _warnings
+
+            ngpt_max = max(lk.lookup_lw.n_gpt, lk.lookup_sw.n_gpt)
+            per_col = self.as_.nlay * ngpt_max * dt.itemsize * 34
+            budget = float(_os.environ.get("RRTMGP_CHUNK_BUDGET_GB", "8")) * 1e9
+            cmax = max(int(budget // per_col), 1)
+            if ncol0 > cmax:
+                self.auto_chunk = max(
+                    d for d in range(1, cmax + 1) if ncol0 % d == 0
+                )
+                _warnings.warn(
+                    f"f64 solve at ncol={ncol0} would materialize "
+                    f"~{ncol0 * per_col / 1e9:.1f} GB of spectral tensors; "
+                    f"auto-chunking into {self.auto_chunk}-column chunks "
+                    f"(budget {budget / 1e9:.0f} GB, "
+                    f"$RRTMGP_CHUNK_BUDGET_GB to adjust)",
+                    stacklevel=3,
+                )
+        chunk = self.auto_chunk
         #: global column ids, sharded alongside the state in mesh mode; the
         #: cloudy solves read col_ids[0] = the shard's global column offset
         self._col_ids = jnp.arange(ncol0, dtype=jnp.int32)
@@ -361,12 +405,11 @@ class RRTMGPSolver:
             if mesh is not None or not use_pallas or ncol0 % 128 == 0:
                 return fn
 
-            def wrapped(atm, bcs, *rest):
-                out = fn(
-                    _solvers.pad_columns(atm, ncol0),
-                    _solvers.pad_columns(bcs, ncol0),
-                    *rest,
-                )
+            def wrapped(*args):
+                # pad_columns is shape-driven: only leaves with a trailing
+                # ncol axis are padded (seeds/col_ids pass through; col_ids
+                # padding is inert — only col_ids[0] is read)
+                out = fn(*(_solvers.pad_columns(a, ncol0) for a in args))
                 return _solvers.slice_columns(out, ncol0)
 
             return wrapped
@@ -380,54 +423,104 @@ class RRTMGPSolver:
             return jax.jit(_col_aligned(fn), compiler_options=copts)
 
         nga = self.n_gauss_angles
+        enm = self.eta_node_mode
 
-        def lw_clear(atm, bcs):
+        def lw_clear_one(atm, bcs):
             return _solvers.solve_lw(
                 lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw, lkp_aero=lw_aero,
                 n_gauss_angles=nga,
                 pallas_tables=tabs_lw, pallas_window=win_lw, pallas_sweep_cols=scols,
                 pallas_planck_window=plk_win,
                 pallas_windowed=wmode, aero_species=aspec, metric_scaling=mscale,
+                eta_node_mode=enm,
             )
 
-        def sw_clear(atm, bcs):
+        def sw_clear_one(atm, bcs):
             return _solvers.solve_sw(
                 lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw, lkp_aero=sw_aero,
                 pallas_tables=tabs_sw, pallas_window=win_sw, pallas_sweep_cols=scols,
                 pallas_ray_window=ray_win,
                 pallas_windowed=wmode, aero_species=aspec, metric_scaling=mscale,
+                eta_node_mode=enm,
             )
+
+        def lw_clear(atm, bcs):
+            if chunk is not None:
+                return _solvers.solve_chunked(lw_clear_one, atm, bcs, chunk)
+            return lw_clear_one(atm, bcs)
+
+        def sw_clear(atm, bcs):
+            if chunk is not None:
+                return _solvers.solve_chunked(sw_clear_one, atm, bcs, chunk)
+            return sw_clear_one(atm, bcs)
 
         self._lw_clear = _spmd(lw_clear)
         self._sw_clear = _spmd(sw_clear)
 
+        # fused LW+SW pair: ONE jitted program per radiation step — the
+        # separate update_lw/update_sw jits pay a measured ~6.4 ms host
+        # dispatch gap between them at 8k columns (profile_allsky r3), the
+        # dominant small-batch overhead; update_fluxes() uses these
+        def pair_clear(atm, bl, bs):
+            return lw_clear(atm, bl), sw_clear(atm, bs)
+
+        self._pair_clear = _spmd(pair_clear)
+
         if cloudy:
 
-            def lw_cloudy(atm, bcs, seed, col_ids):
+            def lw_cloudy_one(atm, bcs, seed, col_off):
                 return _solvers.solve_lw(
                     lk.lookup_lw, atm, bcs, two_stream=self.two_stream_lw,
                     n_gauss_angles=nga,
                     lkp_cld=lk.lookup_lw_cld, lkp_aero=lw_aero,
-                    cld_mask_seed=seed, col_offset=col_ids[0],
+                    cld_mask_seed=seed, col_offset=col_off,
                     pallas_tables=tabs_lw, pallas_window=win_lw,
                     pallas_sweep_cols=scols, pallas_planck_window=plk_win,
                     pallas_windowed=wmode,
                     aero_species=aspec, metric_scaling=mscale,
+                    eta_node_mode=enm,
                 )
 
-            def sw_cloudy(atm, bcs, seed, col_ids):
+            def sw_cloudy_one(atm, bcs, seed, col_off):
                 return _solvers.solve_sw(
                     lk.lookup_sw, atm, bcs, two_stream=self.two_stream_sw,
                     lkp_cld=lk.lookup_sw_cld, lkp_aero=sw_aero,
-                    cld_mask_seed=seed, col_offset=col_ids[0],
+                    cld_mask_seed=seed, col_offset=col_off,
                     pallas_tables=tabs_sw, pallas_window=win_sw,
                     pallas_sweep_cols=scols, pallas_ray_window=ray_win,
                     pallas_windowed=wmode,
                     aero_species=aspec, metric_scaling=mscale,
+                    eta_node_mode=enm,
                 )
+
+            def lw_cloudy(atm, bcs, seed, col_ids):
+                if chunk is not None:
+                    # per-chunk GLOBAL offsets = batch base + chunk offset:
+                    # the McICA stream stays bitwise chunk-invariant
+                    return _solvers.solve_chunked(
+                        lambda a, b, s, off: lw_cloudy_one(a, b, s, col_ids[0] + off),
+                        atm, bcs, chunk, cld_mask_seed=seed,
+                    )
+                return lw_cloudy_one(atm, bcs, seed, col_ids[0])
+
+            def sw_cloudy(atm, bcs, seed, col_ids):
+                if chunk is not None:
+                    return _solvers.solve_chunked(
+                        lambda a, b, s, off: sw_cloudy_one(a, b, s, col_ids[0] + off),
+                        atm, bcs, chunk, cld_mask_seed=seed,
+                    )
+                return sw_cloudy_one(atm, bcs, seed, col_ids[0])
 
             self._lw_cloudy = _spmd(lw_cloudy)
             self._sw_cloudy = _spmd(sw_cloudy)
+
+            def pair_cloudy(atm, bl, bs, seed_lw, seed_sw, col_ids):
+                return (
+                    lw_cloudy(atm, bl, seed_lw, col_ids),
+                    sw_cloudy(atm, bs, seed_sw, col_ids),
+                )
+
+            self._pair_cloudy = _spmd(pair_cloudy)
 
     def _mcica_key(self, wave: int):
         """Counter-based seed derived from the step number: the reset_rng_seed
@@ -463,6 +556,46 @@ class RRTMGPSolver:
         )
 
     # -- flux updates (ref api.jl:115-176) ----------------------------------
+
+    def update_fluxes(self):
+        """Update LW AND SW fluxes in ONE jitted program.
+
+        Functionally identical to update_lw_fluxes() + update_sw_fluxes()
+        (same solves, same McICA keys), but the pair runs as a single jit —
+        removing the measured ~6.4 ms host dispatch gap between the two
+        separate jits (profile_allsky r3), which dominates per-step overhead
+        at small per-chip batches. Returns (flux_lw, flux_sw). The reference
+        has no combined method (hosts call update_lw_fluxes!/update_sw_fluxes!
+        separately, ref api.jl:115-176) — this is the TPU-native completion
+        for dispatch-bound per-chip batch sizes.
+        """
+        m = self.radiation_method
+        if isinstance(m, GrayRadiation) or self.bcs_lw is None or self.bcs_sw is None:
+            self.update_lw_fluxes()
+            self.update_sw_fluxes()
+            return self.flux_lw, self.flux_sw
+        if isinstance(m, ClearSkyRadiation):
+            (self.flux_lw, self.diag_lw), (self.flux_sw, self.diag_sw) = (
+                self._pair_clear(self.as_, self.bcs_lw, self.bcs_sw)
+            )
+        elif isinstance(m, AllSkyRadiation):
+            (self.flux_lw, self.diag_lw), (self.flux_sw, self.diag_sw) = (
+                self._pair_cloudy(
+                    self.as_, self.bcs_lw, self.bcs_sw,
+                    self._mcica_key(0), self._mcica_key(1), self._col_ids,
+                )
+            )
+        elif isinstance(m, AllSkyRadiationWithClearSkyDiagnostics):
+            (self.clear_flux_lw, _), (self.clear_flux_sw, _) = (
+                self._pair_clear(self.as_, self.bcs_lw, self.bcs_sw)
+            )
+            (self.flux_lw, self.diag_lw), (self.flux_sw, self.diag_sw) = (
+                self._pair_cloudy(
+                    self.as_, self.bcs_lw, self.bcs_sw,
+                    self._mcica_key(0), self._mcica_key(1), self._col_ids,
+                )
+            )
+        return self.flux_lw, self.flux_sw
 
     def update_lw_fluxes(self):
         m = self.radiation_method

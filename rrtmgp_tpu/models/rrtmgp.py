@@ -347,6 +347,9 @@ def solve_lw(
                                          # a pure function of (seed, global
                                          # column), bitwise-invariant to
                                          # column sharding/chunking
+    eta_node_mode: str = "continuous",   # STATIC eta grid-node semantics
+                                         # (gas_optics.ETA_NODE_MODES);
+                                         # "reference" for golden parity runs
 ) -> tuple[FluxLW, SolveDiagnostics]:
     """Longwave flux solve over all g-points.
 
@@ -409,7 +412,7 @@ def solve_lw(
         (q_base, pack3, eta3, _, plk_lev, plk_sfc, groups_static,
          scal_offs, plk_ok) = mega_lw_inputs(
             lkp, pallas_tables, as_, window, need_lay=False,
-            planck_window=pallas_planck_window,
+            planck_window=pallas_planck_window, eta_node_mode=eta_node_mode,
         )
         win_ok = jnp.logical_and(win_ok, plk_ok)
         cld_b3 = None
@@ -464,7 +467,7 @@ def solve_lw(
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
          scal_offs, plk_ok) = mega_lw_inputs(
             lkp, pallas_tables, as_, window,
-            planck_window=pallas_planck_window,
+            planck_window=pallas_planck_window, eta_node_mode=eta_node_mode,
         )
         win_ok = jnp.logical_and(win_ok, plk_ok)
         cld_b3 = None
@@ -538,6 +541,7 @@ def solve_lw(
             raw = _pallas_lw_raw(
                 lkp, pallas_tables, as_, windowed=pallas_windowed,
                 window_size=pallas_window, keep_padded=kp,
+                eta_node_mode=eta_node_mode,
             )
             optics = None
             tau = raw.tau
@@ -549,10 +553,11 @@ def solve_lw(
                 window_size=pallas_window,
                 # the Pallas 2-stream sweep uses only level sources
                 need_lay_source=not (two_stream and pallas_rte),
+                eta_node_mode=eta_node_mode,
             )
             tau = optics.tau
     else:
-        optics = gas_optics_lw(lkp, as_)
+        optics = gas_optics_lw(lkp, as_, eta_node_mode=eta_node_mode)
         tau = optics.tau
     ssa = jnp.zeros_like(tau) if two_stream else None
     g_asym = jnp.zeros_like(tau) if two_stream else None
@@ -754,6 +759,7 @@ def solve_sw(
     aero_species: tuple | None = None,   # STATIC active MERRA species indices
     cld_mask_seed: jax.Array | None = None,  # () int32 in-kernel McICA (see solve_lw)
     col_offset: jax.Array | int = 0,     # () int32 global column-0 index (see solve_lw)
+    eta_node_mode: str = "continuous",   # STATIC eta node semantics (see solve_lw)
 ) -> tuple[FluxSW, SolveDiagnostics]:
     """Shortwave flux solve over all g-points.
 
@@ -817,10 +823,16 @@ def solve_sw(
         # 1, deterministic) on the SW kernel at block 256 in this
         # environment. Also note composed solves MUST stay at 128: in-kernel
         # McICA streams are keyed per 128-col block (mesh-invariance
-        # contract).
+        # contract). SW_MEGA_BLOCK (experiment; with SW_MEGA_DIR_BF16=1
+        # halving the scratch) overrides for CLEAR solves only.
         sw_block = 128
+        if lkp_cld is None and as_.ncol % 256 == 0:
+            import os
+
+            sw_block = int(os.environ.get("SW_MEGA_BLOCK", "128"))
         q_base, pack3, eta3, groups_static, scal_offs, ray_base = mega_sw_inputs(
-            lkp, pallas_tables, as_, window, ray_window=ray_win
+            lkp, pallas_tables, as_, window, ray_window=ray_win,
+            eta_node_mode=eta_node_mode,
         )
         cld_b3 = None
         if lkp_cld is not None:
@@ -897,9 +909,10 @@ def solve_sw(
         optics = _pallas_sw(
             lkp, pallas_tables, as_, windowed=pallas_windowed,
             window_size=pallas_window, keep_padded=kp,
+            eta_node_mode=eta_node_mode,
         )
     else:
-        optics = gas_optics_sw(lkp, as_)
+        optics = gas_optics_sw(lkp, as_, eta_node_mode=eta_node_mode)
     tau = optics.tau
     ssa = optics.ssa if two_stream else None
     # Clear-sky gas optics has zero asymmetry (Rayleigh g=0); keep it symbolic

@@ -85,13 +85,37 @@ def compute_pt_interp(lkp: GasLookup, p_lay: jax.Array, t_lay: jax.Array) -> PTI
     return PTInterp(jtemp, ftemp, jpress_base, fpress, tropo_lower)
 
 
-def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
+#: eta grid-node semantics at EXACT nodes (eta*(n_eta-1) integral, which
+#: happens on real data wherever the second key species' VMR is exactly 0):
+#: - "continuous": fraction against the CLAMPED index — at eta == 1 the value
+#:   comes entirely from node n_eta-1; the interpolation is continuous in eta.
+#: - "reference": fraction = frac(loc_eta) like the reference (and the
+#:   Fortran that produced the golden files): at an exact node the value
+#:   comes entirely from the LOWER node — a full-cell jump at eta == 1
+#:   (ref /root/reference/src/optics/gas_optics.jl:134-136).
+#: The two modes are bitwise identical everywhere off-node. Golden runs
+#: against real Fortran reference data must use "reference" (see PARITY.md).
+ETA_NODE_MODES = ("continuous", "reference")
+
+
+def _eta_frac(loc_eta, jeta_f, node_mode: str):
+    """Eta interpolation fraction per ETA_NODE_MODES. jeta_f = clamped index."""
+    if node_mode not in ETA_NODE_MODES:
+        raise ValueError(f"eta node_mode {node_mode!r} not in {ETA_NODE_MODES}")
+    if node_mode == "continuous":
+        return loc_eta - jeta_f
+    return loc_eta - jnp.floor(loc_eta)
+
+
+def compute_eta_interp(
+    lkp: GasLookup, vmr, pt: PTInterp, node_mode: str = "continuous"
+) -> EtaInterp:
     """Tropo-selected eta data stacked over bands: each field (nlay, ncol, nbnd).
 
     Vectorized over the band axis: key-species VMRs are stacked at trace time
     (static key_species table), then one fused chain computes all bands'
     col_mix/eta/indices at once (a per-band loop here cost ~25% of the whole
-    LW optics in small VPU ops).
+    LW optics in small VPU ops). node_mode: see ETA_NODE_MODES.
     """
     nbnd = lkp.n_bnd
     n_eta = lkp.n_eta
@@ -144,21 +168,19 @@ def compute_eta_interp(lkp: GasLookup, vmr, pt: PTInterp) -> EtaInterp:
         loc_eta = eta * (n_eta - 1)
         jeta_f = jnp.minimum(jnp.floor(loc_eta), n_eta - 2)
         jeta = jeta_f.astype(jnp.int32)
-        # frac against the CLAMPED index: at eta == 1 exactly (vanishing
-        # second key species) this reads node n_eta-1 with weight 1, keeping
-        # the interpolation continuous. The reference computes the frac
-        # against the unclamped trunc (gas_optics.jl:134-136), which jumps a
-        # full eta cell at exact grid nodes and makes f32 vs f64 diverge by
-        # O(cell) whenever rounding lands on/off the node — a deliberate,
-        # strictly-continuous divergence (identical everywhere off-node).
-        feta = loc_eta - jeta_f
+        # node semantics at exact eta grid nodes are switchable (default
+        # "continuous" — reads node n_eta-1 with weight 1 at eta == 1;
+        # "reference" reproduces the full-cell jump of gas_optics.jl:134-136
+        # for golden parity runs). See ETA_NODE_MODES.
+        feta = _eta_frac(loc_eta, jeta_f, node_mode)
         outs.append((jeta, feta, col_mix))
     (j1, f1, c1), (j2, f2, c2) = outs
     return EtaInterp(j1, f1, j2, f2, c1, c2)
 
 
 def compute_eta_interp_bl(
-    lkp: GasLookup, vmr, pt: PTInterp, nbnd_out: int | None = None
+    lkp: GasLookup, vmr, pt: PTInterp, nbnd_out: int | None = None,
+    node_mode: str = "continuous",
 ) -> EtaInterp:
     """Band-LEADING eta interp: each field (nbnd, nlay, ncol).
 
@@ -171,9 +193,12 @@ def compute_eta_interp_bl(
     bands duplicate band nbnd-1's key species with zero eta_half): the
     megakernels need 8-aligned band rows, and a post-hoc jnp.pad re-copies
     ~126 MB per operand at DYAMOND widths. Pad-row values are finite garbage;
-    consumers must mask them (the mega expand matrices' pad rows are zero)."""
+    consumers must mask them (the mega expand matrices' pad rows are zero) —
+    never feed band_pad output to per-band-index paths (_tau_minor_merged)
+    or band reductions. node_mode: see ETA_NODE_MODES."""
     nbnd = lkp.n_bnd
     if nbnd_out is not None and nbnd_out > nbnd:
+        assert nbnd_out % 8 == 0, nbnd_out  # mega contract: 8-aligned rows
         mb = nbnd_out
     else:
         mb = nbnd
@@ -225,14 +250,9 @@ def compute_eta_interp_bl(
         loc_eta = eta * (n_eta - 1)
         jeta_f = jnp.minimum(jnp.floor(loc_eta), n_eta - 2)
         jeta = jeta_f.astype(jnp.int32)
-        # frac against the CLAMPED index: at eta == 1 exactly (vanishing
-        # second key species) this reads node n_eta-1 with weight 1, keeping
-        # the interpolation continuous. The reference computes the frac
-        # against the unclamped trunc (gas_optics.jl:134-136), which jumps a
-        # full eta cell at exact grid nodes and makes f32 vs f64 diverge by
-        # O(cell) whenever rounding lands on/off the node — a deliberate,
-        # strictly-continuous divergence (identical everywhere off-node).
-        feta = loc_eta - jeta_f
+        # switchable node semantics at exact eta grid nodes (see
+        # ETA_NODE_MODES; compute_eta_interp for the rationale)
+        feta = _eta_frac(loc_eta, jeta_f, node_mode)
         outs.append((jeta, feta, col_mix))
     (j1, f1, c1), (j2, f2, c2) = outs
     return EtaInterp(j1, f1, j2, f2, c1, c2)
@@ -483,14 +503,16 @@ def compute_planck_sources(lkp: GasLookup, as_: AtmosphericState, pfrac: jax.Arr
     return LWSources(lay_source=lay_source, lev_source=lev_source, sfc_source=sfc_source)
 
 
-def gas_optics_lw(lkp: GasLookup, as_: AtmosphericState) -> LWOptics:
+def gas_optics_lw(
+    lkp: GasLookup, as_: AtmosphericState, eta_node_mode: str = "continuous"
+) -> LWOptics:
     """LW gas optics: tau + Planck sources for all g-points, (nlay, ncol, ngpt).
 
     Fuses the reference's per-column driver loop
     (/root/reference/src/optics/Optics.jl:202-293) into dense batched ops.
     """
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    eta = compute_eta_interp(lkp, as_.vmr, pt)
+    eta = compute_eta_interp(lkp, as_.vmr, pt, node_mode=eta_node_mode)
     tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta)
     tau_minor = compute_tau_minor(lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta)
     tau = jnp.maximum(tau_major + tau_minor, 0.0)
@@ -499,13 +521,15 @@ def gas_optics_lw(lkp: GasLookup, as_: AtmosphericState) -> LWOptics:
     return LWOptics(tau=tau, sources=sources)
 
 
-def gas_optics_sw(lkp: GasLookup, as_: AtmosphericState) -> SWOptics:
+def gas_optics_sw(
+    lkp: GasLookup, as_: AtmosphericState, eta_node_mode: str = "continuous"
+) -> SWOptics:
     """SW gas optics: tau + Rayleigh single-scattering albedo, (nlay, ncol, ngpt).
 
     Mirrors /root/reference/src/optics/gas_optics.jl:197-231.
     """
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    eta = compute_eta_interp(lkp, as_.vmr, pt)
+    eta = compute_eta_interp(lkp, as_.vmr, pt, node_mode=eta_node_mode)
     tau_major = compute_tau_major(lkp, as_.col_dry, pt, eta)
     tau_minor = compute_tau_minor(lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, eta)
     tau_ray = compute_tau_rayleigh(lkp, as_.vmr, as_.col_dry, pt, eta)

@@ -349,7 +349,8 @@ def _interp_table(
     return out.reshape(nlay, ncol_pad, lkp.n_gpt)
 
 
-def _prep(lkp: GasLookup, as_: AtmosphericState, block: int, band_pad: bool = False):
+def _prep(lkp: GasLookup, as_: AtmosphericState, block: int, band_pad: bool = False,
+          eta_node_mode: str = "continuous"):
     """Shared per-solve preprocessing: pt/eta data, padded to block multiple.
 
     Eta data is band-LEADING — each EtaInterp field (nbnd, nlay, ncol_pad) —
@@ -358,10 +359,15 @@ def _prep(lkp: GasLookup, as_: AtmosphericState, block: int, band_pad: bool = Fa
     the eta band axis to 8-aligned rows inside the producing fusion, so the
     megakernels' pad_band is a no-op (saves 4 x ~126 MB HBM pad copies per
     SW solve; the kernels' expand-matrix pad rows are zero, masking the
-    dummy-band values)."""
+    dummy-band values — band_pad eta must NEVER feed per-band-index paths
+    like _tau_minor_merged or band reductions). eta_node_mode: see
+    gas_optics.ETA_NODE_MODES (the kernels consume jeta/feta as data, so the
+    node semantics are decided entirely here)."""
     pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
     nbnd_out = -(-lkp.n_bnd // 8) * 8 if band_pad else None
-    eta = compute_eta_interp_bl(lkp, as_.vmr, pt, nbnd_out=nbnd_out)
+    eta = compute_eta_interp_bl(
+        lkp, as_.vmr, pt, nbnd_out=nbnd_out, node_mode=eta_node_mode
+    )
     ncol = as_.ncol
     ncol_pad = -(-ncol // block) * block
     padp = lambda x: _pad_cols(x, ncol_pad)
@@ -745,6 +751,7 @@ def mega_lw_inputs(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
     need_lay: bool = True,
     planck_window: int | None = None,
+    eta_node_mode: str = "continuous",
 ):
     """Inputs for ops.pallas_mega.lw_clear_mega: pack/eta operands in
     layer-leading layout, band-leading Planck values, static minor metadata.
@@ -759,7 +766,7 @@ def mega_lw_inputs(
 
     block = 128
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(
-        lkp, as_, block, band_pad=True
+        lkp, as_, block, band_pad=True, eta_node_mode=eta_node_mode
     )
     assert ncol == ncol_pad, (ncol, ncol_pad)
     nlay = as_.nlay
@@ -812,6 +819,7 @@ def mega_lw_inputs(
 def mega_sw_inputs(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, window: int,
     ray_window: int | None = None,
+    eta_node_mode: str = "continuous",
 ):
     """Inputs for ops.pallas_mega.sw_clear_mega (see mega_lw_inputs).
 
@@ -820,7 +828,7 @@ def mega_sw_inputs(
     (interleaved Rayleigh rows; see compute_ray_window) defaults to the full
     table; when given, also returns the per-layer ray window bases."""
     pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(
-        lkp, as_, 128, band_pad=True
+        lkp, as_, 128, band_pad=True, eta_node_mode=eta_node_mode
     )
     assert ncol == ncol_pad, (ncol, ncol_pad)
     nlay = as_.nlay
@@ -863,13 +871,16 @@ def gas_optics_lw_raw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
     keep_padded: bool = False, eta_chunk: int = 1,
+    eta_node_mode: str = "continuous",
 ) -> RawLWOptics:
     """LW gas optics for the source-fused sweep: tau + pfrac + band Plancks.
 
     keep_padded (requires ncol % block == 0): tau/pfrac keep the g-point pad
     lanes (exact zeros) so the sweep kernel consumes them directly — skips a
     0.5 GB slice + re-pad round trip per tensor."""
-    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(
+        lkp, as_, block, eta_node_mode=eta_node_mode
+    )
     if keep_padded:
         assert ncol == ncol_pad, (ncol, ncol_pad)
     tau, pfrac = _optics_fused_call(
@@ -899,10 +910,12 @@ def gas_optics_lw_raw(
 def gas_optics_lw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
-    need_lay_source: bool = True,
+    need_lay_source: bool = True, eta_node_mode: str = "continuous",
 ) -> LWOptics:
     """LW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_lw."""
-    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(
+        lkp, as_, block, eta_node_mode=eta_node_mode
+    )
 
     tau, pfrac = _optics_fused_call(
         lkp, tables, as_, pt2d, eta2d, q_major, ncol_pad, block, with_ray=False,
@@ -920,11 +933,14 @@ def gas_optics_sw(
     lkp: GasLookup, tables: PallasGasTables, as_: AtmosphericState, *,
     block: int = 256, windowed: str = "auto", window_size: int = 96,
     keep_padded: bool = False, eta_chunk: int = 1,
+    eta_node_mode: str = "continuous",
 ) -> SWOptics:
     """SW gas optics via Pallas kernels; same contract as gas_optics.gas_optics_sw.
 
     keep_padded: see gas_optics_lw_raw (pad-lane tau/ssa are exact zeros)."""
-    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(lkp, as_, block)
+    pt, eta, pt2d, eta2d, q_major, f32, ncol, ncol_pad = _prep(
+        lkp, as_, block, eta_node_mode=eta_node_mode
+    )
     if keep_padded:
         assert ncol == ncol_pad, (ncol, ncol_pad)
     tau, ssa = _optics_fused_call(

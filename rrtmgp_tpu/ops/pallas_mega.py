@@ -52,13 +52,31 @@ def _interpret() -> bool:
 
 
 # Ablation hook for perf diagnosis (benchmarks/ only — NEVER set in
-# production): comma-separated pieces of the optics phase to stub out, e.g.
+# production): comma-separated pieces of the kernels to stub out, e.g.
 # MEGA_ABLATE=major,minors,eta. Read at trace time; results are WRONG with
-# any piece ablated.
+# any piece ablated. Optics-phase pieces: wbuild, major, ray, eta, minors.
+# Post-optics pieces (VERDICT r3 #1 — decompose the "transport/sweeps/rest"
+# bucket): planck (band-Planck expands + geometric means), transport (LW
+# exp/fact/Clough + radiance recurrence), coeffs (two-stream coefficient
+# math), beam (SW direct-beam carry), adding (bottom-up albedo/src), stores
+# (per-layer VMEM scratch writes; NOTE skipping a store lets Mosaic DCE any
+# compute feeding only that store), downsweep/upsweep (second sweep pass),
+# reduce (batched spectral reductions).
 def _ablated(piece: str) -> bool:
     import os
 
-    return piece in os.environ.get("MEGA_ABLATE", "")
+    return piece in os.environ.get("MEGA_ABLATE", "").split(",")
+
+
+# Experiment flag (VERDICT r3 #7): store the SW kernel's 4 per-layer scratch
+# buffers (Rdir*beam / Tdir*beam / Rdif / Tdif, later reused for albedo/src)
+# in bf16 instead of f32 — halves the dominant VMEM term so block 256 fits,
+# at ~0.4% relative error on the stored coefficients. Trace-time env flag;
+# accuracy gated by tests_tpu/test_tpu_mega.py when enabled.
+def _sw_dir_bf16() -> bool:
+    import os
+
+    return os.environ.get("SW_MEGA_DIR_BF16", "") == "1"
 
 
 def _paired_fori(nlay: int, step, init):
@@ -592,31 +610,46 @@ def _lw_mega_kernel(
             ma = amask_ref[l][0:1].T > 0.0  # (B, 1)
             tau = jnp.where(ma, tau + ta * (1.0 - sa), tau)
         tau_loc = tau * ds
-        trans = jnp.exp(-tau_loc)
-        tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
-        fact = jnp.where(
-            tau_loc > tau_thresh,
-            (1.0 - trans) / tau_safe - trans,
-            tau_loc * (0.5 + tau_loc * (-1.0 / 3.0 + tau_loc * 0.125)),
-        )
-        lay_val = expand(plkl_ref[l].T) * pf
-        # level l+1 value: geometric mean of adjacent pfracs; at the top the
-        # neighbor pfrac is clamped to the layer's own (exact, no sqrt)
-        lev_above = expand(plke_ref[l + 1].T) * jnp.where(
-            l < nlay - 1, jnp.sqrt(pf * pf_above), pf
-        )
-        trans_s[l] = trans
-        sup_s[l] = clough(trans, fact, lay_val, lev_above)
-        # downward radiance crosses layer l+1 now that its bottom level value
-        # exists; at the top step the where keeps the TOA incident radiance
-        sdn_above = clough(trans_above, fact_above, lay_above, lev_above)
-        i_dn_new = jnp.where(
-            l < nlay - 1, trans_above * i_dn + sdn_above, i_dn
-        )
-        # store the radiance row; the spectral reductions run batched after
-        # the loop (per-layer (B, G) lane reductions on the serial carry
-        # path cost ~10% of the kernel — PARITY ablation)
-        idn_s[l + 1] = i_dn_new
+        if _ablated("transport"):
+            trans = tau_loc
+            fact = tau_loc
+        else:
+            trans = jnp.exp(-tau_loc)
+            tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
+            fact = jnp.where(
+                tau_loc > tau_thresh,
+                (1.0 - trans) / tau_safe - trans,
+                tau_loc * (0.5 + tau_loc * (-1.0 / 3.0 + tau_loc * 0.125)),
+            )
+        if _ablated("planck"):
+            lay_val = pf
+            lev_above = pf
+        else:
+            lay_val = expand(plkl_ref[l].T) * pf
+            # level l+1 value: geometric mean of adjacent pfracs; at the top
+            # the neighbor pfrac is clamped to the layer's own (exact, no sqrt)
+            lev_above = expand(plke_ref[l + 1].T) * jnp.where(
+                l < nlay - 1, jnp.sqrt(pf * pf_above), pf
+            )
+        if _ablated("transport"):
+            i_dn_new = i_dn
+            sup_val = lay_val
+        else:
+            sup_val = clough(trans, fact, lay_val, lev_above)
+            # downward radiance crosses layer l+1 now that its bottom level
+            # value exists; at the top step the where keeps the TOA incident
+            # radiance
+            sdn_above = clough(trans_above, fact_above, lay_above, lev_above)
+            i_dn_new = jnp.where(
+                l < nlay - 1, trans_above * i_dn + sdn_above, i_dn
+            )
+        if not _ablated("stores"):
+            trans_s[l] = trans
+            sup_s[l] = sup_val
+            # store the radiance row; the spectral reductions run batched
+            # after the loop (per-layer (B, G) lane reductions on the serial
+            # carry path cost ~10% of the kernel — PARITY ablation)
+            idn_s[l + 1] = i_dn_new
         return (pf, trans, fact, lay_val, i_dn_new) + mc
 
     init = (zero, zero, zero, zero, i_dn_top)
@@ -635,7 +668,8 @@ def _lw_mega_kernel(
     # layer's own), then the surface reflection/emission boundary
     lev0 = expand(plke_ref[0].T) * pf0
     i_dn_sfc = trans0 * i_dn1 + clough(trans0, fact0, lay0, lev0)
-    idn_s[0] = i_dn_sfc
+    if not _ablated("stores"):
+        idn_s[0] = i_dn_sfc
 
     emis = expand(emis_ref[:].T)
     i_up = i_dn_sfc * (1.0 - emis) + emis * (expand(plks_ref[:].T) * pf0)
@@ -647,15 +681,17 @@ def _lw_mega_kernel(
         sup_s[ilay] = i_up_n
         return i_up_n
 
-    jax.lax.fori_loop(0, nlay, up_step, i_up)
+    if not _ablated("upsweep"):
+        jax.lax.fori_loop(0, nlay, up_step, i_up)
     # batched spectral reductions: 8 levels per op, static slices
     nlev = nlay + 1
-    for c in range(0, nlev, 8):
-        n = min(8, nlev - c)
-        dn_acc[c : c + n] = jnp.sum(idn_s[c : c + n], axis=-1) * i2f
-    for c in range(0, nlay, 8):
-        n = min(8, nlay - c)
-        up_acc[c + 1 : c + 1 + n] = jnp.sum(sup_s[c : c + n], axis=-1) * i2f
+    if not _ablated("reduce"):
+        for c in range(0, nlev, 8):
+            n = min(8, nlev - c)
+            dn_acc[c : c + n] = jnp.sum(idn_s[c : c + n], axis=-1) * i2f
+        for c in range(0, nlay, 8):
+            n = min(8, nlay - c)
+            up_acc[c + 1 : c + 1 + n] = jnp.sum(sup_s[c : c + n], axis=-1) * i2f
     up_ref[:] = up_acc[:].T
     dn_ref[:] = dn_acc[:].T
 
@@ -928,6 +964,10 @@ def _sw_mega_kernel(
     eps = float(jnp.finfo(jnp.float32).eps)
     mu0 = mu0_ref[:].T  # (B, 1), broadcasts over g-points
     mu0_safe = jnp.maximum(mu0, eps)
+    # scratch dtype of the 4 per-layer coefficient buffers (bf16 experiment
+    # halves the dominant VMEM term; see _sw_dir_bf16)
+    sdt = jnp.bfloat16 if _sw_dir_bf16() else jnp.float32
+    f32 = lambda x: x.astype(jnp.float32)
 
     def expand(v):  # (B, mb) -> (B, G)
         v_hi, v_lo = _split_hi_lo(v)
@@ -1028,25 +1068,31 @@ def _sw_mega_kernel(
             ssa = jnp.where(ma, ssa_new, ssa)
         # T0 computed ONCE: it is the direct-beam layer transmittance, the
         # _sw_coeffs clamp bound, AND the beam-carry update
-        T0 = jnp.exp(-(tau * mu0_rinv))
+        if _ablated("beam"):
+            T0 = tau
+            d_new = d_beam
+        else:
+            T0 = jnp.exp(-(tau * mu0_rinv))
+            d_new = d_beam * T0
         if _ablated("coeffs"):
             Rdir = Tdir = Rdif = Tdif = T0 * 0.25
         else:
             Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau, ssa, g_l, mu0, eps, T0=T0)
-        d_new = d_beam * T0
-        dstage[jax.lax.rem(l, 8)] = d_new
+        if not _ablated("beam"):
+            dstage[jax.lax.rem(l, 8)] = d_new
 
-        @pl.when(jax.lax.rem(l, 8) == 0)
-        def _flush_dir():
-            dir_acc[pl.ds(pl.multiple_of(l, 8), 8)] = jnp.sum(dstage[:], axis=-1)
-        # store the direct-source coefficients PRE-MULTIPLIED by the beam
-        # above this layer: phases 3/4 then never touch a (nlev, B, G)
-        # direct-flux tensor — it exists only as the loop carry + the
-        # per-level reduced dir_acc
-        rdir_s[l] = Rdir * d_beam
-        tdir_s[l] = Tdir * d_beam
-        rdif_s[l] = Rdif
-        tdif_s[l] = Tdif
+            @pl.when(jax.lax.rem(l, 8) == 0)
+            def _flush_dir():
+                dir_acc[pl.ds(pl.multiple_of(l, 8), 8)] = jnp.sum(dstage[:], axis=-1)
+        if not _ablated("stores"):
+            # store the direct-source coefficients PRE-MULTIPLIED by the beam
+            # above this layer: phases 3/4 then never touch a (nlev, B, G)
+            # direct-flux tensor — it exists only as the loop carry + the
+            # per-level reduced dir_acc
+            rdir_s[l] = (Rdir * d_beam).astype(sdt)
+            tdir_s[l] = (Tdir * d_beam).astype(sdt)
+            rdif_s[l] = Rdif.astype(sdt)
+            tdif_s[l] = Tdif.astype(sdt)
         return carry[:5] + (d_new,)
 
     init = (zeroc, zeroc, zero1, zero1, zeroc, dir_top)
@@ -1074,20 +1120,23 @@ def _sw_mega_kernel(
 
     def up_step(ilay, carry):
         alb_i, src_i = carry
-        Rdif = rdif_s[ilay]
-        Tdif = tdif_s[ilay]
-        tdird = tdir_s[ilay]  # Tdir * beam-above
+        Rdif = f32(rdif_s[ilay])
+        Tdif = f32(tdif_s[ilay])
+        tdird = f32(tdir_s[ilay])  # Tdir * beam-above
         denom = 1.0 / (1.0 - Rdif * alb_i)
         td = Tdif * denom
         alb_n = Rdif + Tdif * alb_i * td
-        src_n = rdir_s[ilay] + td * (src_i + alb_i * tdird)
-        rdif_s[ilay] = denom * (Rdif * src_i + tdird)
-        tdif_s[ilay] = td
-        rdir_s[ilay] = alb_n
-        tdir_s[ilay] = src_n
+        src_n = f32(rdir_s[ilay]) + td * (src_i + alb_i * tdird)
+        rdif_s[ilay] = (denom * (Rdif * src_i + tdird)).astype(sdt)
+        tdif_s[ilay] = td.astype(sdt)
+        rdir_s[ilay] = alb_n.astype(sdt)
+        tdir_s[ilay] = src_n.astype(sdt)
         return alb_n, src_n
 
-    alb_top, src_top = jax.lax.fori_loop(0, nlay, up_step, (alb0, src0))
+    if _ablated("adding"):
+        alb_top, src_top = alb0, src0
+    else:
+        alb_top, src_top = jax.lax.fori_loop(0, nlay, up_step, (alb0, src0))
 
     # phase 4: top-down diffuse flux, fd = td*carry + sconst; per-level up/dn
     # rows overwrite tdif_s/rdif_s in place (last consumers) and reduce in
@@ -1099,22 +1148,24 @@ def _sw_mega_kernel(
 
     def down_step(i, carry):
         ilay = nlay - 1 - i
-        fd = tdif_s[ilay] * carry + rdif_s[ilay]
+        fd = f32(tdif_s[ilay]) * carry + f32(rdif_s[ilay])
         below = jnp.maximum(ilay - 1, 0)
         at_sfc = (ilay == 0)
-        alb_i = jnp.where(at_sfc, alb0, rdir_s[below])
-        src_i = jnp.where(at_sfc, src0, tdir_s[below])
-        tdif_s[ilay] = fd * alb_i + src_i
-        rdif_s[ilay] = fd
+        alb_i = jnp.where(at_sfc, alb0, f32(rdir_s[below]))
+        src_i = jnp.where(at_sfc, src0, f32(tdir_s[below]))
+        tdif_s[ilay] = (fd * alb_i + src_i).astype(sdt)
+        rdif_s[ilay] = fd.astype(sdt)
         return fd
 
-    jax.lax.fori_loop(0, nlay, down_step, fd_top)
-    for c in range(0, nlay, 8):
-        n = min(8, nlay - c)
-        up_acc[c : c + n] = jnp.sum(tdif_s[c : c + n], axis=-1)
-        dn_acc[c : c + n] = (
-            jnp.sum(rdif_s[c : c + n], axis=-1) + dir_acc[c : c + n]
-        )
+    if not _ablated("downsweep"):
+        jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    if not _ablated("reduce"):
+        for c in range(0, nlay, 8):
+            n = min(8, nlay - c)
+            up_acc[c : c + n] = jnp.sum(f32(tdif_s[c : c + n]), axis=-1)
+            dn_acc[c : c + n] = (
+                jnp.sum(f32(rdif_s[c : c + n]), axis=-1) + dir_acc[c : c + n]
+            )
     nlev = nlay + 1
     up_ref[:] = up_acc[:].T
     dn_ref[:] = dn_acc[:].T
@@ -1255,6 +1306,7 @@ def sw_clear_mega(
     npk = pack.shape[1]
     if ray_win is None:
         ray_win = ray_ilv.shape[0]
+    _sdt = jnp.bfloat16 if _sw_dir_bf16() else jnp.float32
     kernel = functools.partial(
         _sw_mega_kernel,
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
@@ -1294,10 +1346,10 @@ def sw_clear_mega(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdir
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdir
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Rdif
-            pltpu.VMEM((nlay, block_cols, gp), jnp.float32),   # Tdif
+            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Rdir
+            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Tdir
+            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Rdif
+            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Tdif
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             # dir reduced, padded so 8-row chunk flushes never clip
@@ -1452,6 +1504,9 @@ def _lw2_mega_kernel(
 
     def layer_coeffs(tau, ssa, g, lev_bot, lev_top):
         """Meador-Weaver Rdif/Tdif + Toon sources (ref :110-161)."""
+        if _ablated("coeffs"):
+            q = tau * 0.25
+            return q, q, lev_bot, lev_top
         gamma1 = lw_diff_sec * (1.0 - 0.5 * ssa * (1.0 + g))
         gamma2 = lw_diff_sec * 0.5 * ssa * (1.0 - g)
         k = jnp.sqrt(jnp.maximum((gamma1 + gamma2) * (gamma1 - gamma2), k_min))
@@ -1472,6 +1527,8 @@ def _lw2_mega_kernel(
         return Rdif, Tdif, src_up, src_dn
 
     def adding(alb_i, src_i, Rdif, Tdif, src_up, src_dn):
+        if _ablated("adding"):
+            return alb_i, src_i, Rdif, Tdif, src_dn
         denom = 1.0 / (1.0 - Rdif * alb_i)
         td = Tdif * denom
         alb_n = Rdif + Tdif * alb_i * td
@@ -1527,12 +1584,15 @@ def _lw2_mega_kernel(
             ssa_l = jnp.where(ma, ssa_new, ssa_l)
 
         # level l value: geometric mean of adjacent pfracs (l=0: pf_prev=pf)
-        pf_lo = jnp.where(l > 0, pf_prev, pf)
-        lev_val = expand(plke_ref[l].T) * jnp.sqrt(pf_lo * pf)
-
-        # surface boundary of the adding recurrence (alb = 1 - emis,
-        # src = pi * emis * sfc_source; ref longwave2stream.jl:182-211)
-        sfc_src = expand(plks_ref[:].T) * pf
+        if _ablated("planck"):
+            lev_val = pf
+            sfc_src = pf
+        else:
+            pf_lo = jnp.where(l > 0, pf_prev, pf)
+            lev_val = expand(plke_ref[l].T) * jnp.sqrt(pf_lo * pf)
+            # surface boundary of the adding recurrence (alb = 1 - emis,
+            # src = pi * emis * sfc_source; ref longwave2stream.jl:182-211)
+            sfc_src = expand(plks_ref[:].T) * pf
         alb_c = jnp.where(l == 0, 1.0 - emis_g, alb_c)
         src_c = jnp.where(l == 0, pi * emis_g * sfc_src, src_c)
 
@@ -1547,13 +1607,15 @@ def _lw2_mega_kernel(
             alb_c, src_c, Rdif, Tdif, src_up, src_dn
         )
 
-        @pl.when(l > 0)
-        def _store_prev():
-            rdif_s[l - 1] = rd_f
-            tdif_s[l - 1] = td_f
-            srcdn_s[l - 1] = sd_f
-            albedo[l] = alb_n
-            src[l] = src_n
+        if not _ablated("stores"):
+
+            @pl.when(l > 0)
+            def _store_prev():
+                rdif_s[l - 1] = rd_f
+                tdif_s[l - 1] = td_f
+                srcdn_s[l - 1] = sd_f
+                albedo[l] = alb_n
+                src[l] = src_n
 
         keep = l > 0
         alb_c = jnp.where(keep, alb_n, alb_c)
@@ -1593,12 +1655,14 @@ def _lw2_mega_kernel(
         src[ilay] = fd
         return fd
 
-    jax.lax.fori_loop(0, nlay, down_step, fd_top)
+    if not _ablated("downsweep"):
+        jax.lax.fori_loop(0, nlay, down_step, fd_top)
     nlev = nlay + 1
-    for c in range(0, nlev, 8):
-        n = min(8, nlev - c)
-        up_acc[c : c + n] = jnp.sum(albedo[c : c + n], axis=-1)
-        dn_acc[c : c + n] = jnp.sum(src[c : c + n], axis=-1)
+    if not _ablated("reduce"):
+        for c in range(0, nlev, 8):
+            n = min(8, nlev - c)
+            up_acc[c : c + n] = jnp.sum(albedo[c : c + n], axis=-1)
+            dn_acc[c : c + n] = jnp.sum(src[c : c + n], axis=-1)
     up_ref[:] = up_acc[:].T
     dn_ref[:] = dn_acc[:].T
 

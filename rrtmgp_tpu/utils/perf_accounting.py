@@ -48,6 +48,71 @@ def solve_hbm_bytes(inputs, outputs, tables, intermediates) -> int:
     )
 
 
+def algorithmic_flops(lkp, ncol: int, nlay: int, longwave: bool,
+                      two_stream: bool) -> int:
+    """PHYSICS-REQUIRED FLOPs of one whole solve — the numerator of
+    ``mfu_algorithmic``.
+
+    Counts only the arithmetic the RRTMGP algorithm itself demands per
+    (layer, column, g-point), read off the reference's scalar kernels
+    (/root/reference/src/optics/gas_optics.jl:166-335, src/rte/*.jl): the
+    8-point trilinear major interpolation, minor-gas 2x2 interpolations and
+    scaling laws, Rayleigh, Planck sources, transport recurrences, and the
+    spectral flux reduction. One-hot gather lanes, band->g-point expand dots,
+    and every form of padding are EXCLUDED — this is what a hypothetical
+    perfectly-lean implementation would execute. Conventions (documented so
+    the number is reproducible): mul/add/sub/div/select = 1 FLOP each,
+    exp/sqrt = 1; per-(layer, column, band) weight precomputation is
+    amortized to 0 against the ~16 g-points per band; minor-gas coverage
+    uses min(lower-side, upper-side) interval-g-point counts — each layer
+    runs exactly one side, so this is a strict lower bound regardless of
+    where the tropopause falls. Result: a LOWER bound on required FLOPs,
+    hence mfu_algorithmic is a lower bound on how well ANY implementation
+    of this physics could use the chip at the measured time.
+    """
+    ngpt = lkp.n_gpt
+    e = ncol * nlay * ngpt  # elements per spectral tensor
+
+    # tau_major trilinear (interp3d, optics_utils.jl:123-149): 4 (press,temp)
+    # corners x (eta lerp 3 + x combined weight 1 + accumulate 1) + col_dry
+    f = 21 * e
+    # minor gases (gas_optics.jl:255-306): per covered (gpt, interval):
+    # eta lerp at 2 temp nodes (6) + temp combine (3) + x scaling + add (2);
+    # coverage = min over tropo sides (each layer runs one side)
+    cov_lower = sum(iv.gpt1 - iv.gpt0 for iv in lkp.minor_lower if iv.gas != 0)
+    cov_upper = sum(iv.gpt1 - iv.gpt0 for iv in lkp.minor_upper if iv.gas != 0)
+    f += 11 * ncol * nlay * min(cov_lower, cov_upper)
+
+    if longwave:
+        # planck fraction: trilinear without col_mix (4 x (3+1+1))
+        f += 20 * e
+        # sources (Optics.jl:228-248): lay = pfrac x band-Planck (1);
+        # lev interior = sqrt + 2 mul (3); band 1-D interp amortized per band
+        f += 4 * e
+        if two_stream:
+            # lw_2stream_coeffs (longwave2stream.jl:110-161): gammas 6,
+            # k=sqrt 3, exp 2, rt 5, Rdif 3, Tdif 3, Toon sources ~14 => 36
+            # + adding sweep (Shonk-Hogan, :182-254) ~18 + reduce 2
+            f += (36 + 18 + 2) * e
+        else:
+            # Clough transport (longwave1scalar.jl:149-212): trans 2, fact 3,
+            # src_dn/up 2x6, recurrences 2x2 + reduce 2
+            f += (2 + 3 + 12 + 4 + 2) * e
+    else:
+        # Rayleigh (gas_optics.jl:324-335): 2 eta lerps 6 + temp combine 3 +
+        # x (1+h2o)*col_dry 1; ssa = div + select
+        f += (10 + 2) * e
+        if two_stream:
+            # sw_2stream_coeffs (shortwave2stream.jl:135-195): gammas 10,
+            # a1/a2 6, k 4, exponentials 5, rt 5, Rdif/Tdif 6, Rdir/Tdir ~26,
+            # clamps 4, direct sources 2 => ~68; direct beam cumulative-tau 4;
+            # adding sweep ~18; reduce 3
+            f += (68 + 4 + 18 + 3) * e
+        else:
+            f += (4 + 1) * e  # direct beam + reduce
+    return f
+
+
 def mega_mxu_flops(
     lkp, tabs, window: int, ncol: int, nlay: int, with_rayleigh: bool
 ) -> int:

@@ -116,6 +116,73 @@ def test_mcica_reproducibility():
     assert float(jnp.max(jnp.abs(f3.flux_up - f1.flux_up))) > 0.0
 
 
+@pytest.mark.parametrize(
+    "method",
+    [
+        rt.ClearSkyRadiation(True),
+        rt.AllSkyRadiation(True, reset_rng_seed=True),
+        rt.AllSkyRadiationWithClearSkyDiagnostics(True, True),
+    ],
+)
+def test_update_fluxes_fused_pair(method):
+    """update_fluxes() (one jitted LW+SW program per step — removes the
+    inter-jit host dispatch gap) must equal the separate
+    update_lw_fluxes()/update_sw_fluxes() calls bitwise: same solves, same
+    McICA keys, only the dispatch granularity differs."""
+    s_sep = _solver(method)
+    s_sep.advance_step(3)
+    flw_sep = s_sep.update_lw_fluxes()
+    fsw_sep = s_sep.update_sw_fluxes()
+
+    s_fus = _solver(method)
+    s_fus.advance_step(3)
+    flw, fsw = s_fus.update_fluxes()
+    for a, b in ((flw, flw_sep), (fsw, fsw_sep)):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    if isinstance(method, rt.AllSkyRadiationWithClearSkyDiagnostics):
+        np.testing.assert_array_equal(
+            np.asarray(s_fus.clear_lw_flux_up()), np.asarray(s_sep.clear_lw_flux_up())
+        )
+    if s_sep.sw_cloud_cover() is not None:
+        np.testing.assert_array_equal(
+            np.asarray(s_fus.sw_cloud_cover()), np.asarray(s_sep.sw_cloud_cover())
+        )
+
+
+def test_f64_auto_chunk(monkeypatch):
+    """f64 solves above the memory budget route through solve_chunked
+    automatically (the f64 XLA path materializes (nlay, ncol, ngpt) spectral
+    tensors — at DYAMOND ncol that OOMs a chip; the reference runs f64
+    first-class, ref test/runtests.jl:27-30) and reproduce the unchunked
+    fluxes + diagnostics, incl. the McICA stream (global-column keying)."""
+    method = rt.AllSkyRadiation(True, reset_rng_seed=True)
+    s_ref = _solver(method)
+    assert s_ref.auto_chunk is None
+    f_lw_ref = s_ref.update_lw_fluxes()
+    f_sw_ref = s_ref.update_sw_fluxes()
+
+    # tiny budget: per_col = nlay*ngpt*8*34 B -> cmax=3 -> chunk=2 at ncol=8
+    monkeypatch.setenv("RRTMGP_CHUNK_BUDGET_GB", "0.0005")
+    with pytest.warns(UserWarning, match="auto-chunking"):
+        s = _solver(method)
+    assert s.auto_chunk == 2
+    f_lw = s.update_lw_fluxes()
+    f_sw = s.update_sw_fluxes()
+    for a, b in ((f_lw, f_lw_ref), (f_sw, f_sw_ref)):
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
+    # diagnostics survive the chunked path (cld_cover / AOD re-concatenated)
+    np.testing.assert_allclose(
+        np.asarray(s.sw_cloud_cover()), np.asarray(s_ref.sw_cloud_cover()),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s.aod_sw_extinction()), np.asarray(s_ref.aod_sw_extinction()),
+        rtol=1e-12,
+    )
+
+
 def test_gray_radiation_mode():
     lat = jnp.linspace(-60.0, 60.0, NCOL)
     atm = setup_gray_as_pr_grid(

@@ -133,8 +133,13 @@ def _write_allsky_file(path, band_set, fluxes=None):
     mk("t_lay", ("lay", "col"), t_lay)
     # moderate humidity: the synthetic k-tables are opaque enough that a wet
     # column pushes the LW 2stream-vs-noscat gap past the reference's
-    # (real-data-calibrated) 5 W/m^2 gate and the SW f32 sweep past 0.06
-    mk("h2o", ("lay", "col"), 2e-3 * (p_lay / p_lay[0:1]) ** 2 + 3e-6)
+    # (real-data-calibrated) 5 W/m^2 gate and the SW f32 sweep past 0.06.
+    # Normalize by the SURFACE row (this file is TOA-first, so that is the
+    # LAST row): normalizing by row 0 made h2o a ~9e4 "VMR" at the surface,
+    # which saturated band-0 eta to exactly 1.0 in f32 (but not f64) and
+    # tripped the reference-mode full-cell node jump — 15 W/m^2 of phantom
+    # golden error from unphysical data.
+    mk("h2o", ("lay", "col"), 1e-3 * (p_lay / p_lay[-1:]) ** 2 + 3e-6)
     mk("o3", ("lay", "col"), np.full((NLAY, NCOL_ALLSKY_DS), 1e-6))
     a_type = np.zeros((NLAY, NCOL_ALLSKY_DS))
     a_size = np.zeros((NLAY, NCOL_ALLSKY_DS))
@@ -208,14 +213,20 @@ def fake_data_dir(tmp_path_factory):
     bcs_lw = LwBCs(
         sfc_emis=jnp.broadcast_to(sfc_emis[None, :], (lkp_lw.n_bnd, NSITE))
     )
-    flw, _ = jax.jit(lambda a, b: solve_lw(lkp_lw, a, b))(atm, bcs_lw)
+    # fake goldens are generated in eta_node_mode="reference" — the mode the
+    # real-data golden run defaults to (test_real_data.ETA_NODE_MODE)
+    flw, _ = jax.jit(
+        lambda a, b: solve_lw(lkp_lw, a, b, eta_node_mode="reference")
+    )(atm, bcs_lw)
     bcs_sw = SwBCs(
         cos_zenith=cos_zenith,
         toa_flux=toa_flux,
         sfc_alb_direct=jnp.broadcast_to(sfc_alb[None, :], (lkp_sw.n_bnd, NSITE)),
         sfc_alb_diffuse=jnp.broadcast_to(sfc_alb[None, :], (lkp_sw.n_bnd, NSITE)),
     )
-    fsw, _ = jax.jit(lambda a, b: solve_sw(lkp_sw, a, b))(atm, bcs_sw)
+    fsw, _ = jax.jit(
+        lambda a, b: solve_sw(lkp_sw, a, b, eta_node_mode="reference")
+    )(atm, bcs_sw)
     suffix = "_Efx_RTE-RRTMGP-181204_rad-irf_r1i1p1f1_gn.nc"
     ref = rfmip_dir / "reference"
     _write_reference_flux(str(ref / f"rlu{suffix}"), "rlu", np.asarray(flw.flux_up))
@@ -255,7 +266,8 @@ def fake_data_dir(tmp_path_factory):
                 b = LwBCs(sfc_emis=jnp.full((lkp.n_bnd, ncol_as), 0.98))
                 flux, _ = jax.jit(
                     lambda a, bb, m: solve_lw(
-                        lkp, a, bb, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m
+                        lkp, a, bb, lkp_cld=lkp_cld, lkp_aero=lkp_aero,
+                        cld_mask=m, eta_node_mode="reference",
                     )
                 )(atm_as, b, mask)
             else:
@@ -267,7 +279,8 @@ def fake_data_dir(tmp_path_factory):
                 )
                 flux, _ = jax.jit(
                     lambda a, bb, m: solve_sw(
-                        lkp, a, bb, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m
+                        lkp, a, bb, lkp_cld=lkp_cld, lkp_aero=lkp_aero,
+                        cld_mask=m, eta_node_mode="reference",
                     )
                 )(atm_as, b, mask)
             _write_allsky_file(
@@ -302,7 +315,8 @@ def test_rfmip_reader_contract(fake_data_dir):
 
 
 @pytest.mark.slow
-def test_golden_suite_executes_end_to_end(fake_data_dir):
+@pytest.mark.parametrize("eta_mode", ["reference", "continuous"])
+def test_golden_suite_executes_end_to_end(fake_data_dir, eta_mode):
     """Run the REAL golden suite (tests/test_real_data.py) against the fake
     checkout: all 18 golden tests — the reference's full matrix, {clear, allsky
     ±aerosols} x {LW noscat, LW 2stream} x {f64, f32} + SW tiers (ref
@@ -311,10 +325,17 @@ def test_golden_suite_executes_end_to_end(fake_data_dir):
     f32 and LW-2stream tiers exercise the reference's loosened tolerances
     against those same no-scat-rescaled files, exactly as the reference does
     (clear_sky_utils.jl:177-179). This certifies the pipeline, not the
-    Fortran numbers."""
+    Fortran numbers.
+
+    Rehearsed in BOTH eta node modes: the fake goldens were generated in
+    "reference" mode; the fake atmospheres never land eta exactly on a grid
+    node (all key-species VMRs > 0), so both modes must agree — pinning that
+    the mode switch only acts at exact nodes (the on-node divergence itself
+    is pinned by tests/test_oracle.py::test_eta_node_mode_on_node)."""
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # drop the axon plugin injection
     env["RRTMGP_DATA"] = fake_data_dir
+    env["RRTMGP_ETA_NODE_MODE"] = eta_mode
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_real_data.py", "-q"],
         env=env,

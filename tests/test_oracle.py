@@ -92,18 +92,18 @@ def _pt_index(lkp, p, t):
     return jt, ft, jp, fp, lower
 
 
-def _eta_index(lkp, tabs, atm, b, jt, lower, l, c):
+def _eta_index(lkp, tabs, atm, b, jt, lower, l, c, node_mode="continuous"):
     """Scalar eta data for band b at one (layer, column): for each of the two
     bracketing temperature nodes, (jeta, feta, col_mix).
 
     eta = vmr1 / (vmr1 + eta_half * vmr2), with eta_half the key-species
     reference-VMR ratio at that temperature node; col_mix = vmr1 +
     eta_half * vmr2 scales the corresponding temperature half of the major
-    interpolation. eta fraction convention: f = loc - CLAMPED index — at
-    eta exactly 1 the value comes entirely from node n_eta-1, keeping the
-    interpolation continuous (deliberate divergence from reference
-    gas_optics.jl:134-136, which jumps a full cell at exact grid nodes;
-    identical everywhere off-node — see ops/gas_optics.compute_eta_interp).
+    interpolation. eta fraction convention (node_mode, mirroring
+    ops/gas_optics.ETA_NODE_MODES): "continuous" = f = loc - CLAMPED index —
+    at eta exactly 1 the value comes entirely from node n_eta-1, keeping the
+    interpolation continuous; "reference" = f = frac(loc) like the reference
+    (gas_optics.jl:134-136), which jumps a full cell at exact grid nodes.
     """
     slot = 0 if lower else 1
     ig1, ig2 = lkp.key_species[b][slot]
@@ -116,7 +116,7 @@ def _eta_index(lkp, tabs, atm, b, jt, lower, l, c):
         eta = vmr1 / col_mix if col_mix > 0.0 else 0.5
         loc = eta * (lkp.n_eta - 1)
         je = int(min(math.floor(loc), lkp.n_eta - 2))
-        fe = loc - je
+        fe = (loc - je) if node_mode == "continuous" else (loc - math.floor(loc))
         out.append((je, fe, col_mix))
     return out
 
@@ -128,7 +128,7 @@ def _band_of(lkp, g):
     raise AssertionError(g)
 
 
-def oracle_gas_optics(lkp, atm, longwave):
+def oracle_gas_optics(lkp, atm, longwave, node_mode="continuous"):
     """Scalar-loop gas optics.
 
     Returns (tau, ssa_or_None, pfrac_or_None), each (nlay, ncol, ngpt) f64.
@@ -153,7 +153,7 @@ def oracle_gas_optics(lkp, atm, longwave):
             jpb = jp + (0 if lower else 1)  # kmajor press axis has npress+1 slabs
             vmr_h2o = _vmr_at(atm, lkp.idx_h2o, l, c)
             eta_by_band = {
-                b: _eta_index(lkp, tabs, atm, b, jt, lower, l, c)
+                b: _eta_index(lkp, tabs, atm, b, jt, lower, l, c, node_mode)
                 for b in range(lkp.n_bnd)
             }
             for g in range(ngpt):
@@ -540,6 +540,45 @@ def test_oracle_sw_2stream_sweep():
     np.testing.assert_allclose(np.asarray(up), up_o, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(dn), dn_o, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(dndir), dndir_o, rtol=1e-12)
+
+
+def test_eta_node_mode_on_node(problem):
+    """Both eta node modes (ops/gas_optics.ETA_NODE_MODES) pinned against the
+    scalar oracle on an atmosphere that lands eta EXACTLY on the top grid
+    node: co2 (the second key species of every synthetic band's lower
+    troposphere) set to 0 makes eta = 1 wherever tropo_lower. The continuous
+    mode must read node n_eta-1, the reference mode node n_eta-2 — the two
+    must each match their oracle at 5e-13 and genuinely differ from each
+    other (the full-cell jump of ref gas_optics.jl:134-136)."""
+    import dataclasses
+
+    lkp_lw, _, atm0 = problem
+    atm = dataclasses.replace(
+        atm0, vmr=dataclasses.replace(atm0.vmr, vmr=atm0.vmr.vmr.at[2].set(0.0))
+    )
+    taus = {}
+    for mode in ("continuous", "reference"):
+        optics = jax.jit(
+            lambda a, m=mode: gas_optics_lw(lkp_lw, a, eta_node_mode=m)
+        )(atm)
+        tau_o, _, _ = oracle_gas_optics(lkp_lw, atm, longwave=True, node_mode=mode)
+        np.testing.assert_allclose(
+            np.asarray(optics.tau), tau_o, rtol=5e-13, atol=1e-300
+        )
+        taus[mode] = tau_o
+    # the modes must actually diverge here (eta == 1 reads different nodes)
+    rel = np.max(
+        np.abs(taus["continuous"] - taus["reference"])
+        / np.maximum(taus["continuous"], 1e-300)
+    )
+    assert rel > 1e-3, rel
+    # and stay bitwise identical off-node (the unmodified atmosphere)
+    for mode in ("continuous", "reference"):
+        t = jax.jit(
+            lambda a, m=mode: gas_optics_lw(lkp_lw, a, eta_node_mode=m).tau
+        )(atm0)
+        taus[f"off_{mode}"] = np.asarray(t)
+    np.testing.assert_array_equal(taus["off_continuous"], taus["off_reference"])
 
 
 def test_oracle_pallas_optics_f32(problem):

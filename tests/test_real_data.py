@@ -6,9 +6,18 @@ the reference's full test matrix (ref /root/reference/test/runtests.jl:18-61):
 RFMIP clear-sky (100 columns) and all-sky ±aerosols (128 columns, cldfrac=1),
 each with {LW no-scat, LW two-stream} x {f64, f32} x SW two-stream against
 rlu/rld/rsu/rsd / rrtmgp-allsky-* at the reference's L-inf tolerances.
+
+Eta node semantics: golden runs default to eta_node_mode="reference" — the
+Fortran that produced the reference fluxes jumps a full eta cell at exact
+grid nodes (ref gas_optics.jl:134-136), and eta == 1 exactly DOES occur on
+real data wherever the second key species' VMR is 0, so a golden comparison
+in the (default, continuous) mode would be ambiguous at the 1e-4 W/m^2 f64
+tolerance. Override with $RRTMGP_ETA_NODE_MODE to measure the continuous
+mode's golden deviation.
 """
 
 import functools
+import os
 
 import numpy as np
 import pytest
@@ -18,6 +27,8 @@ from rrtmgp_tpu.data import artifact_paths as ap
 pytestmark = pytest.mark.skipif(
     not ap.have_data(), reason="RRTMGP_DATA not set / rrtmgp-data not present"
 )
+
+ETA_NODE_MODE = os.environ.get("RRTMGP_ETA_NODE_MODE", "reference")
 
 NCOL = 100
 # ref test/runtests.jl:21-23: {dtype: tol} per solver
@@ -82,7 +93,9 @@ def test_clear_sky_lw_golden(dtype, two_stream):
     nbnd = lkp_lw.n_bnd
     bcs = LwBCs(sfc_emis=jnp.broadcast_to(sfc_emis[None, :], (nbnd, NCOL)))
     flux, _ = jax.jit(
-        lambda a, b: solve_lw(lkp_lw, a, b, two_stream=two_stream)
+        lambda a, b: solve_lw(
+            lkp_lw, a, b, two_stream=two_stream, eta_node_mode=ETA_NODE_MODE
+        )
     )(atm, bcs)
 
     ref_up = _reference_flux("gas", "lw", "flux_up", "rlu")
@@ -113,7 +126,9 @@ def test_clear_sky_sw_2stream_golden(dtype):
         sfc_alb_direct=jnp.broadcast_to(sfc_alb[None, :], (nbnd, NCOL)),
         sfc_alb_diffuse=jnp.broadcast_to(sfc_alb[None, :], (nbnd, NCOL)),
     )
-    flux, _ = jax.jit(lambda a, b: solve_sw(lkp_sw, a, b))(atm, bcs)
+    flux, _ = jax.jit(
+        lambda a, b: solve_sw(lkp_sw, a, b, eta_node_mode=ETA_NODE_MODE)
+    )(atm, bcs)
 
     up = np.asarray(flux.flux_up)
     dn = np.asarray(flux.flux_dn)
@@ -194,6 +209,7 @@ def _allsky_case(with_aerosols: bool, band_set: str, dtype, lw_two_stream=False)
             lambda a, b, m: solve_lw(
                 lkp, a, b, two_stream=lw_two_stream,
                 lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m,
+                eta_node_mode=ETA_NODE_MODE,
             )
         )(atm, bcs, mask)
     else:
@@ -205,7 +221,8 @@ def _allsky_case(with_aerosols: bool, band_set: str, dtype, lw_two_stream=False)
         )
         flux, _ = jax.jit(
             lambda a, b, m: solve_sw(
-                lkp, a, b, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m
+                lkp, a, b, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m,
+                eta_node_mode=ETA_NODE_MODE,
             )
         )(atm, bcs, mask)
     ref_up, ref_dn = load_reference_fluxes(input_path, band_set, NCOL_ALLSKY)

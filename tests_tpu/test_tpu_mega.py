@@ -84,6 +84,75 @@ def test_mega_vs_xla_flux_equivalence(ncol, solver):
         )
 
 
+@pytest.mark.parametrize("ncol", [128, 256])
+@pytest.mark.parametrize("solver", ["lw_noscat", "lw_2stream", "sw"])
+def test_mega_vs_xla_cloud_aero_equivalence(ncol, solver):
+    """Compiled megakernel CLOUD + AEROSOL composition vs the XLA path, on
+    chip (VERDICT round 3 #3): the in-kernel band->g-point cloud increment,
+    McICA mask application, and aerosol two-stream composition under real
+    Mosaic lowering were previously compared to an independent implementation
+    only in interpret mode — and this repo documents Mosaic-only miscompile
+    classes (CLAUDE.md). Deterministic external mask (cld_frac in {0,1}), so
+    both paths compose identical cloud fields."""
+    from rrtmgp_tpu.data.synthetic import (
+        synthetic_aerosol_lookup,
+        synthetic_cloud_lookup,
+    )
+    from rrtmgp_tpu.ops.cloud_optics import build_cloud_mask_mcica
+    from rrtmgp_tpu.ops.gas_optics_pallas import (
+        compute_planck_window,
+        compute_ray_window,
+    )
+
+    lkp_lw, lkp_sw, _, bcs_lw, bcs_sw = _problem(ncol, np.float32)
+    atm = synthetic_atmosphere(
+        ncol=ncol, nlay=NLAY, dtype=np.float32,
+        with_clouds=True, with_aerosols=True,
+    )
+    copts = tpu_compiler_options()
+    if solver == "sw":
+        lkp, bcs, fn = lkp_sw, bcs_sw, solve_sw
+        lkp_cld = synthetic_cloud_lookup(n_bnd=14, seed=5, dtype=np.float32)
+        lkp_aero = synthetic_aerosol_lookup(n_bnd=14, seed=6, dtype=np.float32)
+        kw = {"pallas_ray_window": compute_ray_window(lkp_sw, atm)}
+    else:
+        lkp, bcs, fn = lkp_lw, bcs_lw, solve_lw
+        lkp_cld = synthetic_cloud_lookup(n_bnd=16, dtype=np.float32)
+        lkp_aero = synthetic_aerosol_lookup(n_bnd=16, dtype=np.float32)
+        kw = {
+            "two_stream": solver == "lw_2stream",
+            "pallas_planck_window": compute_planck_window(lkp_lw, atm),
+        }
+    # cld_frac in {0,1} -> the threefry mask is deterministic, both paths
+    # see the same cloud field bitwise
+    mask = build_cloud_mask_mcica(
+        jax.random.key(0), atm.cloud_state.cld_frac, lkp.n_gpt
+    )
+    tabs = build_pallas_tables(lkp)
+    win = compute_min_window(lkp, atm, mega=True)
+    f_mega = jax.jit(
+        lambda a, b, m: fn(
+            lkp, a, b, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m,
+            pallas_tables=tabs, pallas_windowed="force",
+            pallas_window=win, pallas_sweep_cols=sweep_block_cols(), **kw
+        )[0],
+        compiler_options=copts,
+    )
+    f_xla = jax.jit(
+        lambda a, b, m: fn(
+            lkp, a, b, lkp_cld=lkp_cld, lkp_aero=lkp_aero, cld_mask=m, **kw
+        )[0],
+        compiler_options=copts,
+    )
+    r_m = f_mega(atm, bcs, mask)
+    r_x = f_xla(atm, bcs, mask)
+    scale = float(jnp.max(jnp.abs(r_x.flux_dn)))
+    for a, b in zip(r_m, r_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4 * scale, rtol=3e-3
+        )
+
+
 def test_f64_dispatch_matches_xla():
     """pallas_tables + f64 inputs: the dispatch must IGNORE the f32-only
     kernel tier (with a warning) and produce the exact-precision XLA f64
