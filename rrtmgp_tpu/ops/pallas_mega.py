@@ -73,10 +73,25 @@ def _ablated(piece: str) -> bool:
 # in bf16 instead of f32 — halves the dominant VMEM term so block 256 fits,
 # at ~0.4% relative error on the stored coefficients. Trace-time env flag;
 # accuracy gated by tests_tpu/test_tpu_mega.py when enabled.
+# MEASURED (r4): perf-neutral at 32k cols — rejected as default.
 def _sw_dir_bf16() -> bool:
     import os
 
     return os.environ.get("SW_MEGA_DIR_BF16", "") == "1"
+
+
+# Experiment flag (VERDICT r3 #1 harvest): move the SW two-stream coefficient
+# math OFF the serial per-layer optics loop. The r4 ablation shows _sw_coeffs
+# at 12.15 ms vs a ~6.5 ms counted issue bound — the serial fori body stalls
+# its issue slots. Split mode: phase 1 stores (tau, ssa[, g]) only; a BATCHED
+# pass over 8-layer chunks then computes the direct beam via the reference's
+# cumulative-tau form (suffix sums; shortwave2stream.jl:244-247 uses the same
+# form, so this is MORE reference-faithful than the per-layer transmittance
+# product) + the PIFM coefficients, premultiplied and stored in place.
+def _sw_split_coeffs() -> bool:
+    import os
+
+    return os.environ.get("SW_MEGA_SPLIT", "") == "1"
 
 
 def _paired_fori(nlay: int, step, init):
@@ -968,6 +983,8 @@ def _sw_mega_kernel(
     # halves the dominant VMEM term; see _sw_dir_bf16)
     sdt = jnp.bfloat16 if _sw_dir_bf16() else jnp.float32
     f32 = lambda x: x.astype(jnp.float32)
+    split = _sw_split_coeffs()
+    g_stored = has_cloud or has_aero
 
     def expand(v):  # (B, mb) -> (B, G)
         v_hi, v_lo = _split_hi_lo(v)
@@ -993,13 +1010,14 @@ def _sw_mega_kernel(
     # (8, B, G) spectral reduction per chunk — per-level lane reductions on
     # the serial beam carry cost ~10% of the kernel (PARITY ablation).
     dir_top = toa_ref[:] * mu0
-    dstage[nlay % 8] = dir_top
-    for s in range(nlay % 8 + 1, 8):  # levels above TOA in the padded chunk
-        dstage[s] = zeroc
-    if nlay % 8 == 0:
-        # the TOA level is alone in its (padded) chunk: flush it up front —
-        # the loop's first stores would overwrite slot 0 before any flush
-        dir_acc[nlay : nlay + 8] = jnp.sum(dstage[:], axis=-1)
+    if not split:
+        dstage[nlay % 8] = dir_top
+        for s in range(nlay % 8 + 1, 8):  # levels above TOA in the padded chunk
+            dstage[s] = zeroc
+        if nlay % 8 == 0:
+            # the TOA level is alone in its (padded) chunk: flush it up front —
+            # the loop's first stores would overwrite slot 0 before any flush
+            dir_acc[nlay : nlay + 8] = jnp.sum(dstage[:], axis=-1)
     inv = _phase_inv(
         b_cols, mk_stack, window=window, n_eta=n_eta,
         minor_groups=minor_groups, minor_ntp=minor_ntp, with_rayleigh=True,
@@ -1066,6 +1084,14 @@ def _sw_mega_kernel(
             tau = jnp.where(ma, tau_n, tau)
             g_l = jnp.where(ma, g_new, g_l)
             ssa = jnp.where(ma, ssa_new, ssa)
+        if split:
+            # split mode: the serial loop stores the composed optical state
+            # only; beam + coefficients run in the BATCHED pass below
+            rdir_s[l] = tau
+            tdir_s[l] = ssa
+            if g_stored:
+                rdif_s[l] = g_l
+            return carry[:5] + (d_beam,)
         # T0 computed ONCE: it is the direct-beam layer transmittance, the
         # _sw_coeffs clamp bound, AND the beam-carry update
         if _ablated("beam"):
@@ -1108,13 +1134,61 @@ def _sw_mega_kernel(
         ) * (1.0 / n_gpt)
         cover_ref[:] = jnp.broadcast_to(cover, cover_ref.shape)
 
+    if split:
+        # BATCHED beam + coefficient pass (8 layers per step, no serial
+        # carry except the suffix-sum/level-beam chunk boundary): the direct
+        # beam uses the reference's cumulative-tau form (exp of the suffix
+        # sum; ref shortwave2stream.jl:244-247) instead of the per-layer
+        # transmittance product, and _sw_coeffs runs on (8, B, G) blocks
+        # where Mosaic can pipeline the transcendentals freely — the r4
+        # ablation measured the in-loop coeffs at ~1.9x their issue bound.
+        npad8 = rdir_s.shape[0]
+        nchunks = npad8 // 8
+        if npad8 != nlay:
+            # pad-layer tau rows feed the suffix sums: zero them
+            rdir_s[pl.ds(nlay, npad8 - nlay)] = jnp.zeros(
+                (npad8 - nlay, b_cols, npad), jnp.float32
+            )
+        dir_acc[nlay] = jnp.sum(dir_top, axis=-1)
+
+        def coeff_chunk(i, carry):
+            s_carry, d_lev_above = carry  # suffix sum over chunks above; beam at level c+8
+            c = pl.multiple_of((nchunks - 1 - i) * 8, 8)
+            tau_c = rdir_s[pl.ds(c, 8)]
+            ssa_c = tdir_s[pl.ds(c, 8)]
+            # scalar 0.0 keeps _sw_coeffs' trace-time isotropic specialization
+            g_c = rdif_s[pl.ds(c, 8)] if g_stored else 0.0
+            # descending suffix sums within the chunk (static unroll)
+            parts = []
+            acc = s_carry
+            for j in range(7, -1, -1):
+                acc = acc + tau_c[j]
+                parts.insert(0, acc)
+            S = jnp.stack(parts, axis=0)                    # (8, B, G)
+            d_lev = dir_top * jnp.exp(-(S * mu0_rinv))      # beam at levels c..c+7
+            # beam ABOVE layer c+j = beam at level c+j+1
+            d_above = jnp.concatenate([d_lev[1:], d_lev_above[None]], axis=0)
+            T0 = jnp.exp(-(tau_c * mu0_rinv))
+            Rdir, Tdir, Rdif, Tdif = _sw_coeffs(tau_c, ssa_c, g_c, mu0, eps, T0=T0)
+            rdir_s[pl.ds(c, 8)] = (Rdir * d_above).astype(sdt)
+            tdir_s[pl.ds(c, 8)] = (Tdir * d_above).astype(sdt)
+            rdif_s[pl.ds(c, 8)] = Rdif.astype(sdt)
+            tdif_s[pl.ds(c, 8)] = Tdif.astype(sdt)
+            dir_acc[pl.ds(c, 8)] = jnp.sum(d_lev, axis=-1)
+            return acc, d_lev[0]
+
+        _, d_sfc = jax.lax.fori_loop(
+            0, nchunks, coeff_chunk, (zeroc, dir_top)
+        )
+    else:
+        d_sfc = carry_out[5]
+
     # phase 3: bottom-up albedo/src (beam-premultiplied direct sources from
     # phase 1; the surface beam arrives on the loop carry). The four layer
     # buffers are reused in place — no (nlev, B, G) albedo/src scratch:
     # after its read, rdif_s[l] holds sconst = denom*(Rdif*src_lo + tdird)
     # (the carry-independent part of the phase-4 flux recurrence), tdif_s[l]
     # holds td, and rdir_s/tdir_s[l] hold the LEVEL l+1 albedo/src values.
-    d_sfc = carry_out[5]
     alb0 = expand(adif_ref[:].T)
     src0 = d_sfc * expand(adir_ref[:].T)
 
@@ -1346,10 +1420,12 @@ def sw_clear_mega(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
-            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Rdir
-            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Tdir
-            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Rdif
-            pltpu.VMEM((nlay, block_cols, gp), _sdt),   # Tdif
+            # 8-row-padded layers: the split-mode batched pass slices 8-layer
+            # chunks (pad rows are zeroed tau / never-read coefficients)
+            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Rdir
+            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Tdir
+            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Rdif
+            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Tdif
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             # dir reduced, padded so 8-row chunk flushes never clip
