@@ -14,9 +14,14 @@ spread field is (max-min)/median across reps.
 
 Utilization fields (the honest headline this environment can produce — the
 reference publishes no absolute numbers, BASELINE.md):
-- mfu: analytically-counted MXU dot FLOPs of the megakernels' optics phase
-  (utils/perf_accounting.mega_mxu_flops) / time / v5e bf16 peak. VPU work is
-  excluded, so this is a LOWER bound on MXU occupancy.
+- mfu_issued_mxu: analytically-counted MXU dot FLOPs the kernels ISSUE
+  (incl. one-hot/padding lanes; utils/perf_accounting.mega_mxu_flops) /
+  time / v5e bf16 peak. VPU work excluded — a LOWER bound on MXU occupancy.
+- mfu_algorithmic: physics-REQUIRED FLOPs only (perf_accounting.
+  algorithmic_flops conventions; no gather/expand/padding lanes) / time /
+  bf16 peak — what the algorithm itself uses of the chip's matmul peak.
+  Small by nature (this is elementwise physics); the meaningful
+  speed-of-light comparison is PARITY.md's calibrated VPU issue floor.
 - pct_of_hbm_roofline: bandwidth-bound minimum time / measured time
   (>100% impossible; a few % = compute-bound, memory eliminated).
 vs_baseline is kept for continuity against an ASSUMED 1e5 cols/s/chip A100

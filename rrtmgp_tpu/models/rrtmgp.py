@@ -409,6 +409,13 @@ def solve_lw(
 
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
+        # composed solves stay at 128 (per-block McICA stream keying);
+        # LW2_MEGA_BLOCK (experiment) overrides for CLEAR solves
+        lw2_block = 128
+        if lkp_cld is None and as_.ncol % 256 == 0:
+            import os
+
+            lw2_block = int(os.environ.get("LW2_MEGA_BLOCK", "128"))
         (q_base, pack3, eta3, _, plk_lev, plk_sfc, groups_static,
          scal_offs, plk_ok) = mega_lw_inputs(
             lkp, pallas_tables, as_, window, need_lay=False,
@@ -439,7 +446,7 @@ def solve_lw(
             n_bnd=lkp.n_bnd, bnd_lims_gpt=lkp.bnd_lims_gpt,
             minor_groups=groups_static, scal_offs=scal_offs,
             minor_ntp=pallas_tables.minor_ntp,
-            slab=rows_per_slab(lkp.n_temp),
+            slab=rows_per_slab(lkp.n_temp), block_cols=lw2_block,
         )
         flux_up, flux_dn = out[0], out[1]
         flux = FluxLW(flux_up, flux_dn, flux_up - flux_dn)
