@@ -94,6 +94,17 @@ def _sw_split_coeffs() -> bool:
     return os.environ.get("SW_MEGA_SPLIT", "") == "1"
 
 
+# Experiment flag: merge the LW no-scat per-layer lay/lev band-Planck
+# expands into one M=2B dot (LW_PLANCK_MERGED=1). Identical arithmetic —
+# the expand matrix rows are shared; only the dot granularity changes.
+# MEASURED (r4): 63.57 vs 63.04 ms at 32k cols — neutral/slightly negative;
+# the per-layer expand dots are not dot-count-bound. Rejected as default.
+def _lw_planck_merged() -> bool:
+    import os
+
+    return os.environ.get("LW_PLANCK_MERGED", "") == "1"
+
+
 def _paired_fori(nlay: int, step, init):
     """fori_loop over layers with a TWO-layer body (plus a tail step when
     nlay is odd). Identical arithmetic to fori_loop(0, nlay, step, init) —
@@ -639,6 +650,17 @@ def _lw_mega_kernel(
         if _ablated("planck"):
             lay_val = pf
             lev_above = pf
+        elif _lw_planck_merged():
+            # ONE M=2B expand dot instead of two M=B dots: the per-layer
+            # band-Planck dots are latency-dominated (K=32; r4 ablation
+            # ~24 us/dot), so halving the dot count halves their fixed cost
+            both = expand(
+                jnp.concatenate([plkl_ref[l].T, plke_ref[l + 1].T], axis=0)
+            )
+            lay_val = both[:b_cols] * pf
+            lev_above = both[b_cols:] * jnp.where(
+                l < nlay - 1, jnp.sqrt(pf * pf_above), pf
+            )
         else:
             lay_val = expand(plkl_ref[l].T) * pf
             # level l+1 value: geometric mean of adjacent pfracs; at the top
