@@ -468,7 +468,15 @@ def solve_lw(
         from ..ops.pallas_mega import lw_clear_mega
 
         composed = lkp_cld is not None or lkp_aero is not None
-        mega_block = 256 if as_.ncol % 256 == 0 and not composed else 128
+        # block 128 for ALL LW no-scat solves: a fresh r4 A/B at 32k cols
+        # measured 128 at 62.20 ms vs 256 at 62.93 (the old 256-for-clear
+        # default predates the r3/r4 kernel restructures); LW_MEGA_BLOCK
+        # overrides for experiments on 256-aligned clear solves
+        mega_block = 128
+        if not composed and as_.ncol % 256 == 0:
+            import os
+
+            mega_block = int(os.environ.get("LW_MEGA_BLOCK", "128"))
         window = min(pallas_window, pallas_tables.fused_ilv.shape[0])
         win_ok = _window_guard_ok(lkp, pallas_tables, as_, window, mega=True)
         (q_base, pack3, eta3, plk_lay, plk_lev, plk_sfc, groups_static,
