@@ -14,6 +14,20 @@ skipped store lets dead code vanish upstream), but they bound each phase's
 marginal cost. Results + the counted ops->cycles floor go in PARITY.md.
 
 Usage: python benchmarks/ablate_mega.py [lw|lw2|sw ...]  (default: all)
+
+Modes (round 5):
+  --cumulative   ablate pieces CUMULATIVELY (p1, p1+p2, ...) so the stair
+                 deltas form an ADDITIVE decomposition of the kernel time.
+                 Single-piece deltas under-count overlapped phases: the r5
+                 trace showed lw2_mega self-time 67.7 ms vs a 52.5 ms sum of
+                 single-piece deltas — the missing 15 ms is cost that only
+                 moves when several phases leave together.
+  --probe-eta    VERDICT r4 weak #2: measure the eta phase's marginal cost
+                 inside the FULL kernel vs inside a reduced kernel
+                 (coeffs/adding/transport ablated). If eta returns to its
+                 8.2 ms issue floor in the reduced kernel, the 1.3-1.5x
+                 ratios in LW2/SW are register/scheduling pressure from the
+                 bigger live set, not the eta code path.
 """
 
 from __future__ import annotations
@@ -128,17 +142,50 @@ def main() -> None:
             pallas_ray_window=ray_win,
         )[0]
 
+    cumulative = "--cumulative" in sys.argv[1:]
+    probe_eta = "--probe-eta" in sys.argv[1:]
+
+    def run(solver, b, ablate: str) -> float:
+        os.environ["MEGA_ABLATE"] = ablate
+        _clear_mega_caches()
+        return timeit(jax.jit(make(solver), compiler_options=copts), atm, b)
+
     for solver in solvers:
         b = bcs_sw if solver == "sw" else bcs
-        os.environ["MEGA_ABLATE"] = ""
-        _clear_mega_caches()
-        t_base = timeit(jax.jit(make(solver), compiler_options=copts), atm, b)
+        t_base = run(solver, b, "")
         print(f"\n== {solver}: baseline {t_base*1e3:7.2f} ms "
               f"({NCOL/t_base/1e3:.1f}k cols/s) ==", flush=True)
+        if probe_eta:
+            # reduced kernel: everything serial-carry-ish gone
+            ctx = {
+                "lw": "transport,planck,stores,upsweep,reduce",
+                "lw2": "coeffs,adding,stores,downsweep,reduce",
+                "sw": "coeffs,beam,stores,adding,downsweep,reduce",
+            }[solver]
+            t_full = run(solver, b, "eta")
+            t_red = run(solver, b, ctx)
+            t_red_noeta = run(solver, b, ctx + ",eta")
+            print(f"   eta marginal in FULL kernel:    "
+                  f"{1e3*(t_base-t_full):+6.2f} ms", flush=True)
+            print(f"   eta marginal in REDUCED kernel "
+                  f"(-{ctx}): {1e3*(t_red-t_red_noeta):+6.2f} ms "
+                  f"(reduced kernel {t_red*1e3:.2f} -> {t_red_noeta*1e3:.2f})",
+                  flush=True)
+            continue
+        if cumulative:
+            prev = t_base
+            acc: list[str] = []
+            for piece in PIECES[solver]:
+                acc.append(piece)
+                t = run(solver, b, ",".join(acc))
+                print(f"   -{'+'.join(acc):55s}: {t*1e3:7.2f} ms  "
+                      f"stair {1e3*(prev-t):+6.2f} ms", flush=True)
+                prev = t
+            print(f"   cumulative total removed: {1e3*(t_base-prev):+6.2f} ms "
+                  f"(floor left: {prev*1e3:.2f} ms)", flush=True)
+            continue
         for piece in PIECES[solver]:
-            os.environ["MEGA_ABLATE"] = piece
-            _clear_mega_caches()
-            t = timeit(jax.jit(make(solver), compiler_options=copts), atm, b)
+            t = run(solver, b, piece)
             print(f"   -{piece:10s}: {t*1e3:7.2f} ms   delta {1e3*(t_base-t):+6.2f} ms"
                   f"  ({100*(t_base-t)/t_base:5.1f}%)", flush=True)
     os.environ["MEGA_ABLATE"] = ""

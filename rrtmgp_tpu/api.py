@@ -230,6 +230,19 @@ class RRTMGPSolver:
         self.bcs_lw = bcs_lw
         self.bcs_sw = bcs_sw
         self.as_ = as_
+        # fail construction on a state/grid dtype mismatch: mixed f32/f64
+        # pytrees otherwise surface as inscrutable scan carry-dtype errors
+        # deep inside the solve (and under jax_enable_x64 a default-dtype
+        # synthetic state is f64 while grid_params may say f32)
+        want = jnp.dtype(grid_params.dtype)
+        got = jnp.dtype(as_.p_lay.dtype)
+        if got != want:
+            raise TypeError(
+                f"AtmosphericState dtype {got} != grid_params dtype {want}; "
+                "build the state with the grid dtype (e.g. "
+                "synthetic_atmosphere(dtype=...), setup_gray_as_pr_grid"
+                "(dtype=...))"
+            )
         self.center_z = center_z
         self.face_z = face_z
         self.two_stream_lw = two_stream_lw
@@ -281,6 +294,11 @@ class RRTMGPSolver:
         self.clear_flux_sw: _solvers.FluxSW | None = None
         self.diag_lw: _solvers.SolveDiagnostics | None = None
         self.diag_sw: _solvers.SolveDiagnostics | None = None
+        #: f64 auto-chunk size (None = unchunked); set by _build_solvers for
+        #: non-gray f64 solvers above the memory budget. Initialized here so
+        #: every solver (incl. gray, whose _build_solvers returns early)
+        #: exposes the attribute.
+        self.auto_chunk: int | None = None
         self._step = 0
         self._build_solvers()
 
@@ -374,7 +392,6 @@ class RRTMGPSolver:
         # unmodified (the reference runs f64 first-class,
         # /root/reference/test/runtests.jl:27-30). McICA stays bitwise
         # chunk-invariant (global-column keying, solve_chunked contract).
-        self.auto_chunk: int | None = None
         dt = jnp.dtype(self.grid_params.dtype)
         if mesh is None and dt == jnp.float64:
             import os as _os
@@ -385,9 +402,14 @@ class RRTMGPSolver:
             budget = float(_os.environ.get("RRTMGP_CHUNK_BUDGET_GB", "8")) * 1e9
             cmax = max(int(budget // per_col), 1)
             if ncol0 > cmax:
-                self.auto_chunk = max(
-                    d for d in range(1, cmax + 1) if ncol0 % d == 0
-                )
+                # chunk is a FREE choice: the chunked solve edge-pads columns
+                # up to a chunk multiple and slices back, so don't restrict to
+                # divisors of ncol0 (a prime ncol would collapse the divisor
+                # to 1 = one lax.map step per column). Granule 128 on the
+                # Pallas path keeps every chunk kernel-aligned (and divides
+                # the 128-padded column count _col_aligned may have produced).
+                gran = 128 if use_pallas else 1
+                self.auto_chunk = max(cmax // gran, 1) * gran
                 _warnings.warn(
                     f"f64 solve at ncol={ncol0} would materialize "
                     f"~{ncol0 * per_col / 1e9:.1f} GB of spectral tensors; "
@@ -444,14 +466,28 @@ class RRTMGPSolver:
                 eta_node_mode=enm,
             )
 
+        def _chunked(one_fn, atm, bcs, **kw):
+            # auto_chunk need not divide the column count (it is budget-
+            # derived, not a divisor of ncol): edge-pad columns to a chunk
+            # multiple and slice back. Edge padding preserves the window
+            # invariant; in seed mode the pad columns' McICA offsets run past
+            # ncol, which is inert — their fluxes are sliced away.
+            nc = atm.ncol
+            if nc % chunk == 0:
+                return _solvers.solve_chunked(one_fn, atm, bcs, chunk, **kw)
+            atm_p = _solvers.pad_columns(atm, nc, multiple=chunk)
+            bcs_p = _solvers.pad_columns(bcs, nc, multiple=chunk)
+            out = _solvers.solve_chunked(one_fn, atm_p, bcs_p, chunk, **kw)
+            return _solvers.slice_columns(out, nc, multiple=chunk)
+
         def lw_clear(atm, bcs):
             if chunk is not None:
-                return _solvers.solve_chunked(lw_clear_one, atm, bcs, chunk)
+                return _chunked(lw_clear_one, atm, bcs)
             return lw_clear_one(atm, bcs)
 
         def sw_clear(atm, bcs):
             if chunk is not None:
-                return _solvers.solve_chunked(sw_clear_one, atm, bcs, chunk)
+                return _chunked(sw_clear_one, atm, bcs)
             return sw_clear_one(atm, bcs)
 
         self._lw_clear = _spmd(lw_clear)
@@ -497,17 +533,17 @@ class RRTMGPSolver:
                 if chunk is not None:
                     # per-chunk GLOBAL offsets = batch base + chunk offset:
                     # the McICA stream stays bitwise chunk-invariant
-                    return _solvers.solve_chunked(
+                    return _chunked(
                         lambda a, b, s, off: lw_cloudy_one(a, b, s, col_ids[0] + off),
-                        atm, bcs, chunk, cld_mask_seed=seed,
+                        atm, bcs, cld_mask_seed=seed,
                     )
                 return lw_cloudy_one(atm, bcs, seed, col_ids[0])
 
             def sw_cloudy(atm, bcs, seed, col_ids):
                 if chunk is not None:
-                    return _solvers.solve_chunked(
+                    return _chunked(
                         lambda a, b, s, off: sw_cloudy_one(a, b, s, col_ids[0] + off),
-                        atm, bcs, chunk, cld_mask_seed=seed,
+                        atm, bcs, cld_mask_seed=seed,
                     )
                 return sw_cloudy_one(atm, bcs, seed, col_ids[0])
 

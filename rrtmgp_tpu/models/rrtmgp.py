@@ -36,7 +36,7 @@ from ..ops.cloud_optics import (
     increment_2stream,
 )
 from ..ops.gas_optics import gas_optics_lw, gas_optics_sw, gpt2band_np
-from ..states import AtmosphericState, LwBCs, SwBCs
+from ..states import AtmosphericState, LwBCs, SwBCs, tree_map_columns as _tree_map_columns
 
 
 class FluxLW(NamedTuple):
@@ -59,7 +59,7 @@ class SolveDiagnostics(NamedTuple):
 
 
 def pad_columns(pytree, ncol: int, multiple: int = 128):
-    """Edge-replicate-pad every leaf whose trailing axis is ``ncol`` up to the
+    """Edge-replicate-pad every column leaf (trailing axis ``ncol``) up to the
     next multiple of ``multiple``. Edge replication duplicates real columns,
     so the p/t min/max (and hence the Pallas kernel window invariant) are
     unchanged. No-op when already aligned."""
@@ -73,7 +73,7 @@ def pad_columns(pytree, ncol: int, multiple: int = 128):
         widths = [(0, 0)] * (x.ndim - 1) + [(0, npad - ncol)]
         return jnp.pad(x, widths, mode="edge")
 
-    return jax.tree_util.tree_map(pad_leaf, pytree)
+    return _tree_map_columns(pad_leaf, lambda x: x, pytree)
 
 
 def slice_columns(pytree, ncol: int, multiple: int = 128):
@@ -87,7 +87,7 @@ def slice_columns(pytree, ncol: int, multiple: int = 128):
             return x
         return x[..., :ncol]
 
-    return jax.tree_util.tree_map(slice_leaf, pytree)
+    return _tree_map_columns(slice_leaf, lambda x: x, pytree)
 
 
 def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *,
@@ -111,16 +111,19 @@ def solve_chunked(solve_fn, as_: AtmosphericState, bcs, chunk: int, *,
     assert ncol % chunk == 0, (ncol, chunk)
     n_chunks = ncol // chunk
 
-    def chunk_leaf(x):
+    def chunk_rep(x):
+        # replicated leaf (e.g. global-mean vmr vector): broadcast over chunks
         if x is None or not hasattr(x, "ndim"):
             return x
-        if x.ndim == 0 or x.shape[-1] != ncol:
-            # replicated leaf (e.g. global-mean vmr vector): broadcast over chunks
-            return jnp.broadcast_to(x[None], (n_chunks, *x.shape))
+        return jnp.broadcast_to(x[None], (n_chunks, *x.shape))
+
+    def chunk_leaf(x):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0 or x.shape[-1] != ncol:
+            return chunk_rep(x)
         return jnp.moveaxis(x.reshape(*x.shape[:-1], n_chunks, chunk), -2, 0)
 
-    as_c = jax.tree_util.tree_map(chunk_leaf, as_)
-    bcs_c = jax.tree_util.tree_map(chunk_leaf, bcs)
+    as_c = _tree_map_columns(chunk_leaf, chunk_rep, as_)
+    bcs_c = _tree_map_columns(chunk_leaf, chunk_rep, bcs)
 
     if cld_mask is not None:
         # (nlay, ncol, ngpt): chunk the middle axis

@@ -71,13 +71,28 @@ def _ablated(piece: str) -> bool:
 # Experiment flag (VERDICT r3 #7): store the SW kernel's 4 per-layer scratch
 # buffers (Rdir*beam / Tdir*beam / Rdif / Tdif, later reused for albedo/src)
 # in bf16 instead of f32 — halves the dominant VMEM term so block 256 fits,
-# at ~0.4% relative error on the stored coefficients. Trace-time env flag;
-# accuracy gated by tests_tpu/test_tpu_mega.py when enabled.
+# at ~0.4% relative error on the stored coefficients (measured, PARITY.md;
+# no default test exercises the flag). Trace-time env flag.
 # MEASURED (r4): perf-neutral at 32k cols — rejected as default.
+# Ignored under SW_MEGA_SPLIT: split mode stores the RAW optical state
+# (tau feeds the suffix-sum direct beam) in these buffers, which must stay
+# f32 — see _sw_scratch_dtype().
 def _sw_dir_bf16() -> bool:
     import os
 
     return os.environ.get("SW_MEGA_DIR_BF16", "") == "1"
+
+
+def _sw_scratch_dtype():
+    """Dtype of the SW per-layer coefficient scratch. bf16 only for the
+    (rejected) SW_MEGA_DIR_BF16 experiment, and never in split mode, where
+    phase 1 stores tau/ssa/g into the same buffers and a rounded tau would
+    corrupt the cumulative-tau direct beam."""
+    return (
+        jnp.bfloat16
+        if (_sw_dir_bf16() and not _sw_split_coeffs())
+        else jnp.float32
+    )
 
 
 # Experiment flag (VERDICT r3 #1 harvest): move the SW two-stream coefficient
@@ -1003,7 +1018,7 @@ def _sw_mega_kernel(
     mu0_safe = jnp.maximum(mu0, eps)
     # scratch dtype of the 4 per-layer coefficient buffers (bf16 experiment
     # halves the dominant VMEM term; see _sw_dir_bf16)
-    sdt = jnp.bfloat16 if _sw_dir_bf16() else jnp.float32
+    sdt = _sw_scratch_dtype()
     f32 = lambda x: x.astype(jnp.float32)
     split = _sw_split_coeffs()
     g_stored = has_cloud or has_aero
@@ -1402,7 +1417,12 @@ def sw_clear_mega(
     npk = pack.shape[1]
     if ray_win is None:
         ray_win = ray_ilv.shape[0]
-    _sdt = jnp.bfloat16 if _sw_dir_bf16() else jnp.float32
+    _sdt = _sw_scratch_dtype()
+    # 8-row-padded layers only in split mode (its batched pass slices 8-layer
+    # chunks; pad rows are zeroed tau / never-read coefficients) — the default
+    # path keeps exact (nlay, ...) shapes: at nlay=60/block 128 the padding
+    # costs ~2 MB of VMEM in a kernel with documented OOM history
+    _nlay_s = -(-nlay // 8) * 8 if _sw_split_coeffs() else nlay
     kernel = functools.partial(
         _sw_mega_kernel,
         nlay=nlay, window=window, n_eta=n_eta, npad=npad, sw=sw,
@@ -1442,12 +1462,10 @@ def sw_clear_mega(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(kilv.shape, jnp.bfloat16),
-            # 8-row-padded layers: the split-mode batched pass slices 8-layer
-            # chunks (pad rows are zeroed tau / never-read coefficients)
-            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Rdir
-            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Tdir
-            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Rdif
-            pltpu.VMEM((-(-nlay // 8) * 8, block_cols, gp), _sdt),   # Tdif
+            pltpu.VMEM((_nlay_s, block_cols, gp), _sdt),   # Rdir
+            pltpu.VMEM((_nlay_s, block_cols, gp), _sdt),   # Tdir
+            pltpu.VMEM((_nlay_s, block_cols, gp), _sdt),   # Rdif
+            pltpu.VMEM((_nlay_s, block_cols, gp), _sdt),   # Tdif
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             pltpu.VMEM((nlev, block_cols), jnp.float32),
             # dir reduced, padded so 8-row chunk flushes never clip

@@ -18,6 +18,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..states import tree_map_columns as _tree_map_columns
+
 COLUMN_AXIS = "col"
 
 
@@ -51,9 +53,14 @@ def shard_columns(tree, mesh: Mesh, ncol: int):
     """device_put a state/BC pytree with columns sharded over the mesh.
 
     ``ncol`` disambiguates the column axis from same-trailing-size non-column
-    leaves; choose ncol a multiple of mesh size.
+    leaves (the VmrGM global-mean vector is excluded structurally — see
+    states.tree_map_columns); choose ncol a multiple of mesh size.
     """
-    return jax.tree_util.tree_map(lambda x: _shard_leaf(x, mesh, ncol), tree)
+    return _tree_map_columns(
+        lambda x: _shard_leaf(x, mesh, ncol),
+        lambda x: jax.device_put(x, replicated(mesh)),
+        tree,
+    )
 
 
 def replicate(tree, mesh: Mesh):
@@ -96,12 +103,20 @@ def shard_solve(fn, mesh: Mesh, ncol: int):
     ncol_shard = ncol // n_dev
 
     def wrapped(*args):
-        in_specs = jax.tree_util.tree_map(lambda x: _col_pspec(x, ncol), args)
+        in_specs = _tree_map_columns(
+            lambda x: _col_pspec(x, ncol), lambda x: P(), args
+        )
         # discover the output pytree by abstractly evaluating one shard
-        shard_args = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(_shard_shape(x, ncol, n_dev), x.dtype)
-            if hasattr(x, "shape")
-            else x,
+        def _struct(shape_fn):
+            return lambda x: (
+                jax.ShapeDtypeStruct(shape_fn(x), x.dtype)
+                if hasattr(x, "shape")
+                else x
+            )
+
+        shard_args = _tree_map_columns(
+            _struct(lambda x: _shard_shape(x, ncol, n_dev)),
+            _struct(lambda x: x.shape),
             args,
         )
         out_shapes = jax.eval_shape(fn, *shard_args)

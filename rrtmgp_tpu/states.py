@@ -49,6 +49,30 @@ class Vmr:
     vmr: jax.Array
 
 
+def tree_map_columns(col_fn, other_fn, pytree):
+    """tree_map with ``col_fn`` on (potential) column leaves and ``other_fn``
+    on leaves known NOT to be column-trailing.
+
+    Column-axis helpers (pad/slice/chunk/shard) identify column leaves by a
+    trailing-axis shape test — with ONE exception a shape test cannot see:
+    the VmrGM global-mean vector, shape (ngas+1,), collides with
+    ``shape[-1] == ncol`` whenever ncol == ngas+1, and a shape-based pad/
+    chunk/shard would then silently corrupt every gas concentration. This
+    wrapper excludes it STRUCTURALLY; all other replicated leaves in the
+    state/BCs family are scalars or None (safe under any shape test).
+    """
+
+    def node_fn(node):
+        if isinstance(node, VmrGM):
+            return VmrGM(col_fn(node.vmr_h2o), col_fn(node.vmr_o3),
+                         other_fn(node.vmr))
+        return col_fn(node)
+
+    return jax.tree_util.tree_map(
+        node_fn, pytree, is_leaf=lambda n: isinstance(n, VmrGM)
+    )
+
+
 def get_vmr(vmr, ig: int):
     """VMR of gas ``ig`` (1-based static index; 0 = none -> 1.0).
 

@@ -162,11 +162,13 @@ def test_f64_auto_chunk(monkeypatch):
     f_lw_ref = s_ref.update_lw_fluxes()
     f_sw_ref = s_ref.update_sw_fluxes()
 
-    # tiny budget: per_col = nlay*ngpt*8*34 B -> cmax=3 -> chunk=2 at ncol=8
+    # tiny budget: per_col = nlay*ngpt*8*34 B -> cmax=3 -> chunk=3 at ncol=8
+    # (budget-derived, NOT a divisor of ncol: the chunked solve edge-pads
+    # columns to a chunk multiple and slices back)
     monkeypatch.setenv("RRTMGP_CHUNK_BUDGET_GB", "0.0005")
     with pytest.warns(UserWarning, match="auto-chunking"):
         s = _solver(method)
-    assert s.auto_chunk == 2
+    assert s.auto_chunk == 3
     f_lw = s.update_lw_fluxes()
     f_sw = s.update_sw_fluxes()
     for a, b in ((f_lw, f_lw_ref), (f_sw, f_sw_ref)):
@@ -197,6 +199,9 @@ def test_gray_radiation_mode():
         sfc_alb_diffuse=jnp.full((1, NCOL), 0.1),
     )
     s = rt.RRTMGPSolver(gp, rt.GrayRadiation(), PARAMS, bcs_lw, bcs_sw, atm)
+    # every solver exposes auto_chunk, incl. gray (whose _build_solvers
+    # returns early — regression: AttributeError)
+    assert s.auto_chunk is None
     s.update_lw_fluxes()
     s.update_sw_fluxes()
     assert bool(jnp.all(jnp.isfinite(s.lw_flux_up())))

@@ -346,3 +346,42 @@ def test_golden_suite_executes_end_to_end(fake_data_dir, eta_mode):
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout[-4000:]}\nstderr:\n{r.stderr[-2000:]}"
     assert "18 passed" in r.stdout, r.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_golden_contact_script(fake_data_dir):
+    """Rehearse scripts/golden_contact.py end to end against the fake
+    checkout: identity check runs and correctly flags the non-v1.9 tree,
+    --allow-unpinned + --lenient then proceed through structure validation
+    and the golden matrix, and the parity report table is emitted with
+    per-case L-inf numbers. --modes reference bounds the cost (the
+    continuous-mode matrix is already rehearsed by
+    test_golden_suite_executes_end_to_end)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env.pop("RRTMGP_DATA", None)
+    script = os.path.join(repo, "scripts", "golden_contact.py")
+
+    # 1. pristine-pin gate: a fabricated checkout must ABORT by default
+    r = subprocess.run(
+        [sys.executable, script, fake_data_dir],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 3, r.stdout[-2000:]
+    assert "MISMATCH" in r.stdout and "ABORT" in r.stdout
+
+    # 2. forced run: unpinned + lenient -> matrix runs, report emitted
+    r = subprocess.run(
+        [sys.executable, script, fake_data_dir, "--allow-unpinned",
+         "--lenient", "--modes", "reference"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=2400,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout[-4000:]}\nstderr:\n{r.stderr[-2000:]}"
+    assert "structure: OK" in r.stdout, r.stdout[-3000:]
+    assert "## Parity report" in r.stdout
+    # per-case rows parsed from the matrix output (18 tests -> 14 L-inf
+    # lines: 12 LW/SW golden prints + 2 clear-sky SW; night-column asserts
+    # print nothing). At least the clear-sky rows must be present.
+    assert "clear-sky LW noscat float64" in r.stdout
+    assert "unpinned" in r.stdout  # honest verdict line
