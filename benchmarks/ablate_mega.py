@@ -156,21 +156,32 @@ def main() -> None:
         print(f"\n== {solver}: baseline {t_base*1e3:7.2f} ms "
               f"({NCOL/t_base/1e3:.1f}k cols/s) ==", flush=True)
         if probe_eta:
-            # reduced kernel: everything serial-carry-ish gone
-            ctx = {
-                "lw": "transport,planck,stores,upsweep,reduce",
-                "lw2": "coeffs,adding,stores,downsweep,reduce",
-                "sw": "coeffs,beam,stores,adding,downsweep,reduce",
+            # reduced kernels: serial-carry phases gone but the optics
+            # OUTPUTS stay consumed (ablating the stores/beam would let
+            # Mosaic dead-code the whole optics pipeline — measured: SW
+            # with stores+beam ablated collapses to 8.5 ms, optics gone).
+            # CRITICAL DCE subtlety: ablating "planck" in the LW kernels
+            # dead-codes the p_acc (planck-fraction) half of the eta hat
+            # loop — an eta marginal measured with planck ablated covers
+            # only the t_acc chain. Probe BOTH ways to separate per-chain
+            # cost from kernel-specific scheduling.
+            ctxs = {
+                "lw": [("planck live", "transport,upsweep,reduce"),
+                       ("planck dead", "transport,planck,upsweep,reduce")],
+                "lw2": [("planck live", "coeffs,adding,downsweep,reduce"),
+                        ("planck dead", "coeffs,adding,downsweep,reduce,planck")],
+                "sw": [("both chains", "coeffs,adding,downsweep,reduce")],
             }[solver]
             t_full = run(solver, b, "eta")
-            t_red = run(solver, b, ctx)
-            t_red_noeta = run(solver, b, ctx + ",eta")
             print(f"   eta marginal in FULL kernel:    "
                   f"{1e3*(t_base-t_full):+6.2f} ms", flush=True)
-            print(f"   eta marginal in REDUCED kernel "
-                  f"(-{ctx}): {1e3*(t_red-t_red_noeta):+6.2f} ms "
-                  f"(reduced kernel {t_red*1e3:.2f} -> {t_red_noeta*1e3:.2f})",
-                  flush=True)
+            for tag, ctx in ctxs:
+                t_red = run(solver, b, ctx)
+                t_red_noeta = run(solver, b, ctx + ",eta")
+                print(f"   eta marginal, reduced [{tag}] "
+                      f"(-{ctx}): {1e3*(t_red-t_red_noeta):+6.2f} ms "
+                      f"({t_red*1e3:.2f} -> {t_red_noeta*1e3:.2f})",
+                      flush=True)
             continue
         if cumulative:
             prev = t_base
