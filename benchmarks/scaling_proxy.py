@@ -165,6 +165,72 @@ def main() -> None:
         print(f"    N={n_chips}: per-chip batch {nc:6d} -> {cps/1e3:8.1f}k cols/s/chip"
               f"  ({100*cps/t1:.1f}% of N=1 rate)")
 
+    # (d) 4,096-col fixed-cost itemization (VERDICT r4 #7): a 16-chip
+    # DYAMOND all-sky run lands at ~4.7k cols/chip — inside the <90% regime
+    # of curve (b2). Split the 4k-step time into VARIABLE (scales with
+    # columns) and FIXED (kernel shell + XLA prologue + dispatch): the fully
+    # ablated megakernel pair (MEGA_ABLATE=all pieces) measures the fixed
+    # part directly at both 32k and 4k.
+    import os as _os
+
+    from rrtmgp_tpu.ops import pallas_mega as _pm
+
+    ALL_LW = "wbuild,major,minors,eta,planck,transport,stores,upsweep,reduce"
+    ALL_SW = "wbuild,major,ray,minors,eta,coeffs,beam,stores,adding,downsweep,reduce"
+
+    def _pair_at(nc, ablate: str):
+        _os.environ["MEGA_ABLATE"] = ablate
+        for fn in (_pm.lw_clear_mega, _pm.lw2_mega, _pm.sw_clear_mega):
+            fn.clear_cache()
+        a = synthetic_atmosphere(ncol=nc, nlay=NLAY, dtype=dtype)
+        bl = LwBCs(sfc_emis=jnp.full((16, nc), 0.98, jnp.float32))
+        bs = SwBCs(
+            cos_zenith=jnp.full((nc,), 0.6, jnp.float32),
+            toa_flux=jnp.full((nc,), 1361.0, jnp.float32),
+            sfc_alb_direct=jnp.full((14, nc), 0.2, jnp.float32),
+            sfc_alb_diffuse=jnp.full((14, nc), 0.2, jnp.float32),
+        )
+        w = compute_min_window(lkp, a, mega=True)
+        w_sw = compute_min_window(lkp_sw, a, mega=True)
+
+        def pair_n(a_, bl_, bs_):
+            return (
+                solve_lw(
+                    lkp, a_, bl_, pallas_tables=tabs, pallas_windowed="force",
+                    pallas_window=w, pallas_sweep_cols=scols,
+                )[0],
+                solve_sw(
+                    lkp_sw, a_, bs_, pallas_tables=tabs_sw,
+                    pallas_windowed="force", pallas_window=w_sw,
+                    pallas_sweep_cols=scols,
+                )[0],
+            )
+
+        t = timeit(jax.jit(pair_n, compiler_options=copts), a, bl, bs)
+        _os.environ["MEGA_ABLATE"] = ""
+        for fn in (_pm.lw_clear_mega, _pm.lw2_mega, _pm.sw_clear_mega):
+            fn.clear_cache()
+        return t
+
+    print("(d) 4k-col fixed-cost itemization (pair, LW noscat + SW):")
+    full_32k = _pair_at(NCOL, "")
+    floor_32k = _pair_at(NCOL, ALL_LW + "," + ALL_SW)
+    full_4k = _pair_at(4096, "")
+    floor_4k = _pair_at(4096, ALL_LW + "," + ALL_SW)
+    var_32k = full_32k - floor_32k
+    expected_var_4k = var_32k * 4096 / NCOL
+    fixed_4k = full_4k - expected_var_4k
+    print(f"    32k: full {full_32k*1e3:7.2f} ms, ablated shell "
+          f"{floor_32k*1e3:6.2f} ms (prologue+kernel entry+dispatch)")
+    print(f"     4k: full {full_4k*1e3:7.2f} ms, ablated shell "
+          f"{floor_4k*1e3:6.2f} ms")
+    print(f"     4k fixed cost = full - scaled variable = "
+          f"{fixed_4k*1e3:6.2f} ms of {full_4k*1e3:.2f} "
+          f"({100*fixed_4k/full_4k:.1f}% — the <90% regime's cause)")
+    print(f"     per-block shell (32k/256 blk vs 4k/32 blk): "
+          f"{(floor_32k-floor_4k)/(256-32)*1e6:6.1f} us/block; "
+          f"per-launch remainder {1e3*(floor_4k - 32*(floor_32k-floor_4k)/(256-32)):6.2f} ms")
+
     # (c) host->HBM table staging (one-time, per init)
     host_tabs = jax.tree_util.tree_map(np.asarray, tabs)
     t0 = time.perf_counter()

@@ -42,6 +42,19 @@ def _f(x):
 
 # -- error-free transformations ---------------------------------------------
 
+# CONTRACTION HAZARD NOTE (XLA:CPU): the CPU backend emits fused loops with
+# LLVM fp-contraction, which rewrites ``s = p + e`` into ``fma(a, b, e)``
+# when ``p = a*b`` feeds the add — DOUBLE-COUNTING the product error that
+# ``e`` already carries (measured: a uniform ~2^-24 relative error on df
+# products, fusion-context-dependent; immune to HLO-level optimization
+# barriers, which XLA:CPU deletes, and which Pallas cannot lower at all).
+# The Veltkamp split is bit-masked (no float mul -> uncontractable); the
+# residual CPU hazard is detected by tests/test_df32.py's in-context cases
+# and bounded by the df64 tier's end-to-end flux gates. Mosaic (the real
+# TPU target) compiles ops individually and is verified exact on chip
+# (tests_tpu/test_tpu_df64.py).
+
+
 def two_sum(a, b):
     """s + e == a + b exactly, s = fl(a+b). 6 flops (Knuth)."""
     s = a + b
@@ -58,9 +71,30 @@ def fast_two_sum(a, b):
 
 
 def _veltkamp(a):
-    """Split a into 12-bit halves: a == h + l exactly."""
-    c = _SPLIT * a
-    h = c - (c - a)
+    """Split a into (<=12, <=12)-bit halves: a == h + l exactly.
+
+    BIT-MASKED, not the classical multiply-based Veltkamp: XLA's CPU
+    backend emits fusions with LLVM fp-contraction enabled, and
+    ``(SPLIT*a) - a`` contracts into an exact fused multiply-sub that
+    destroys the split (h degenerates to ~a, the two_prod error terms
+    collapse, and df products lose their 2^-24 compensation — measured as
+    a uniform 5.9e-8 relative error, fusion-context-dependent, immune to
+    HLO-level optimization barriers because the rewrite happens INSIDE
+    the fused loop at IR level). Clearing the low 12 mantissa bits is an
+    exact split with no float multiply — nothing to contract — and is
+    cheaper (1 int-and vs 3 float ops). l = a - h is exact (Sterbenz),
+    and all half-products stay exactly representable (12x12 bits).
+    """
+    if isinstance(a, (float, np.floating)):
+        # concrete scalar (e.g. ln2 words, quadrature secants): split in
+        # numpy — Mosaic cannot bitcast rank-0 values
+        af = np.float32(a)
+        h = np.int32(af.view(np.int32) & np.int32(-4096)).view(np.float32)
+        return h, np.float32(af - h)
+    ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+    h = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(ai, jnp.int32(-4096)), _F32
+    )
     return h, a - h
 
 
@@ -216,8 +250,10 @@ def df_exp(x):
     # arguments — measured 3.5e-6 at 2^-99 on XLA:CPU); clamp k to the
     # normal range
     ki = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    # explicit i32 shift: under jax_enable_x64 a python shift amount
+    # promotes the result to i64, whose Mosaic lowering recurses infinitely
     scale = jax.lax.bitcast_convert_type(
-        ((ki + 127) << 23).astype(jnp.int32), _F32
+        jax.lax.shift_left(ki + jnp.int32(127), jnp.int32(23)), _F32
     )
     hi = acc[0] * scale
     lo = acc[1] * scale
