@@ -112,9 +112,44 @@ def main() -> None:
         print(f"F32_SECONDS {bench(np.float32, use_pallas=True):.6f}")
         return
     t64 = bench(np.float64, use_pallas=False)
+
+    # df64 split-precision LW tier (ops/pallas_mega_df): LW-only, so scale
+    # against the LW share for the honest row
+    sys.setrecursionlimit(100000)
+    from rrtmgp_tpu.ops.pallas_mega_df import (
+        build_df64_tables,
+        compute_df64_window,
+        solve_lw_df64,
+    )
+
+    lkp = synthetic_gas_lookup(longwave=True, n_gpt=256, n_bnd=16, dtype=np.float64)
+    atm = synthetic_atmosphere(ncol=NCOL, nlay=NLAY, dtype=np.float64)
+    bcs = LwBCs(sfc_emis=jnp.full((16, NCOL), 0.98, jnp.float64))
+    tabs = build_df64_tables(lkp)
+    win = compute_df64_window(lkp, atm)
+    up, dn = solve_lw_df64(lkp, tabs, atm, bcs, window=win)
+    up.block_until_ready()
+    f_lw64 = jax.jit(lambda a, b: solve_lw(lkp, a, b)[0])
+    o = f_lw64(atm, bcs); float(np.asarray(o.flux_up[0, 0]))
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        up, dn = solve_lw_df64(lkp, tabs, atm, bcs, window=win)
+    float(np.asarray(up[0, 0]))
+    t_df = (time.perf_counter() - t0) / n
+    t0 = time.perf_counter()
+    for _ in range(n):
+        o = f_lw64(atm, bcs)
+    float(np.asarray(o.flux_up[0, 0]))
+    t_lw64 = (time.perf_counter() - t0) / n
+    err = float(jnp.max(jnp.abs(up - o.flux_up)))
+
     print(f"f32 megakernels: {t32*1e3:8.1f} ms -> {NCOL/t32/1e3:8.1f}k cols/s")
     print(f"f64 XLA fallback: {t64*1e3:8.1f} ms -> {NCOL/t64/1e3:8.1f}k cols/s")
     print(f"f64 / f32 cost ratio: {t64/t32:.1f}x")
+    print(f"f64 XLA LW-only: {t_lw64*1e3:8.1f} ms -> {NCOL/t_lw64/1e3:8.1f}k cols/s")
+    print(f"df64 LW megakernel: {t_df*1e3:8.1f} ms -> {NCOL/t_df/1e3:8.1f}k cols/s"
+          f"  ({t_lw64/t_df:.1f}x the exact f64 LW; L-inf {err:.2e} W/m^2)")
 
 
 if __name__ == "__main__":

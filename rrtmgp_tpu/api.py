@@ -223,6 +223,7 @@ class RRTMGPSolver:
         use_pallas: bool | None = None,
         metric_scaling=None,
         eta_node_mode: str = "continuous",
+        f64_kernel: bool | None = None,
     ):
         self.grid_params = grid_params
         self.radiation_method = radiation_method
@@ -276,6 +277,10 @@ class RRTMGPSolver:
         # loads (indices into api_methods-style aerosol_names order); species
         # outside the set are skipped at trace time. None = all 15.
         self.aero_species = aero_species
+        # None/True: f64 CLEAR-SKY LW no-scat solves on TPU route through the
+        # split-precision df64 megakernel (ops/pallas_mega_df; 4-7x the exact
+        # XLA f64 path at <= 2e-6 W/m^2 from it). False: exact XLA f64 only.
+        self.f64_kernel = f64_kernel
         # eta grid-node semantics (ops.gas_optics.ETA_NODE_MODES): default
         # "continuous" (node-continuous interpolation); "reference" reproduces
         # the reference's full-cell jump at exact eta nodes — REQUIRED for
@@ -299,6 +304,9 @@ class RRTMGPSolver:
         #: every solver (incl. gray, whose _build_solvers returns early)
         #: exposes the attribute.
         self.auto_chunk: int | None = None
+        #: (Df64Tables, window) when the split-precision f64 LW kernel tier
+        #: is active (ops/pallas_mega_df); None otherwise
+        self._df64 = None
         self._step = 0
         self._build_solvers()
 
@@ -419,6 +427,26 @@ class RRTMGPSolver:
                     stacklevel=3,
                 )
         chunk = self.auto_chunk
+        # split-precision f64 LW tier (ops/pallas_mega_df): clear-sky LW
+        # no-scat f64 solves on TPU route through the df64 megakernel —
+        # measured 4-7x the exact XLA f64 path at <= 2e-6 W/m^2 from it
+        # (PARITY.md). f64_kernel=False opts out (bitwise XLA-f64 fluxes).
+        if (
+            mesh is None and dt == jnp.float64 and on_tpu
+            and isinstance(m, ClearSkyRadiation)
+            and not self.two_stream_lw
+            and (self.bcs_lw is None or self.bcs_lw.inc_flux is None)
+            and self.f64_kernel is not False
+        ):
+            from .ops.pallas_mega_df import (
+                build_df64_tables,
+                compute_df64_window,
+            )
+
+            self._df64 = (
+                build_df64_tables(lk.lookup_lw),
+                compute_df64_window(lk.lookup_lw, self.as_),
+            )
         #: global column ids, sharded alongside the state in mesh mode; the
         #: cloudy solves read col_ids[0] = the shard's global column offset
         self._col_ids = jnp.arange(ncol0, dtype=jnp.int32)
@@ -606,7 +634,13 @@ class RRTMGPSolver:
         for dispatch-bound per-chip batch sizes.
         """
         m = self.radiation_method
-        if isinstance(m, GrayRadiation) or self.bcs_lw is None or self.bcs_sw is None:
+        if (
+            isinstance(m, GrayRadiation) or self.bcs_lw is None
+            or self.bcs_sw is None or self._df64 is not None
+        ):
+            # gray / partial-BC / df64-tier solvers run the two updates
+            # separately (the df64 LW path is not a single jit — it cannot
+            # join the fused pair program)
             self.update_lw_fluxes()
             self.update_sw_fluxes()
             return self.flux_lw, self.flux_sw
@@ -639,7 +673,11 @@ class RRTMGPSolver:
             up, dn, net = self._lw_fn(self.as_, self.bcs_lw.sfc_emis[0])
             self.flux_lw = _solvers.FluxLW(up, dn, net)
         elif isinstance(m, ClearSkyRadiation):
-            self.flux_lw, self.diag_lw = self._lw_clear(self.as_, self.bcs_lw)
+            if self._df64 is not None:
+                self.flux_lw = self._solve_lw_df64()
+                self.diag_lw = _solvers.SolveDiagnostics()
+            else:
+                self.flux_lw, self.diag_lw = self._lw_clear(self.as_, self.bcs_lw)
         elif isinstance(m, AllSkyRadiation):
             self.flux_lw, self.diag_lw = self._lw_cloudy(
                 self.as_, self.bcs_lw, self._mcica_key(0), self._col_ids
@@ -650,6 +688,32 @@ class RRTMGPSolver:
                 self.as_, self.bcs_lw, self._mcica_key(0), self._col_ids
             )
         return self.flux_lw
+
+    def _solve_lw_df64(self):
+        """Clear-sky LW solve through the split-precision df64 megakernel
+        (ops/pallas_mega_df) — ~4-7x the exact XLA f64 path on chip at
+        <= 2e-6 W/m^2 L-inf from it (PARITY.md). Columns are edge-padded to
+        the 128 block and sliced back; metric scaling applied after."""
+        from .models.rrtmgp import pad_columns, slice_columns
+        from .ops.pallas_mega_df import solve_lw_df64
+
+        tabs, win = self._df64
+        atm, bcs = self.as_, self.bcs_lw
+        ncol = int(atm.ncol)
+        if ncol % 128:
+            atm = pad_columns(atm, ncol)
+            bcs = pad_columns(bcs, ncol)
+        up, dn = solve_lw_df64(
+            self.lookups.lookup_lw, tabs, atm, bcs, window=win,
+            eta_node_mode=self.eta_node_mode,
+            n_gauss_angles=self.n_gauss_angles,
+        )
+        if ncol % 128:
+            up, dn = slice_columns((up, dn), ncol)
+        if self.metric_scaling is not None:
+            up = up * self.metric_scaling
+            dn = dn * self.metric_scaling
+        return _solvers.FluxLW(up, dn, up - dn)
 
     def update_sw_fluxes(self):
         m = self.radiation_method

@@ -819,6 +819,8 @@ def _df64_prologue(lkp, tables, as_, bcs, *, window, eta_node_mode):
     emis_op = jnp.concatenate([eh, el], axis=0)  # (2mb, ncol)
 
     # minor gases: exact f64 XLA, shipped as one spectral pair
+    # (compute_tau_minor uses 4-point gathers — reformulated in r5 after the
+    # one-hot neta temporaries measured as ~3/4 of this prologue)
     tau_minor = compute_tau_minor(
         lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, _bl_to_bt(eta)
     )
