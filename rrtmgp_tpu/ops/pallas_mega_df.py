@@ -747,8 +747,8 @@ def _df64_prologue(lkp, tables, as_, bcs, *, window, eta_node_mode):
     nlay, ncol = as_.p_lay.shape
     rps = rows_per_slab(lkp.n_temp)
     mb = -(-lkp.n_bnd // 8) * 8
-    pt = compute_pt_interp(lkp, as_.p_lay, as_.t_lay)
-    eta = compute_eta_interp_bl(
+    pt = _pt_interp_fast(lkp, as_.p_lay, as_.t_lay)
+    eta = _eta_interp_bl_fast(
         lkp, as_.vmr, pt, nbnd_out=mb, node_mode=eta_node_mode
     )
     q_major = pt.jpress_base * rps + pt.jtemp
@@ -783,23 +783,36 @@ def _df64_prologue(lkp, tables, as_, bcs, *, window, eta_node_mode):
     eta1 = eta_operand(eta.jeta1, eta.feta1, eta.col_mix1)
     eta2 = eta_operand(eta.jeta2, eta.feta2, eta.col_mix2)
 
-    # band Planck values in f64 (tiny): 2-hot over the totplnk table
+    # band Planck values in f64: the interpolation WEIGHTS stay f64, but
+    # the table-row extraction runs as EXACT one-hot f32 dots (f64
+    # dot_general while-emulates on TPU — profiled at ~90 ms of this
+    # prologue at 8k cols). Table rows split exactly into two f32 words;
+    # [T | roll(T)] supplies the j+1 node from the same one-hot.
+    tp64 = jnp.asarray(lkp.totplnk, jnp.float64)  # (nT, nbnd)
+    tp_hi = tp64.astype(jnp.float32)
+    tp_lo = (tp64 - tp_hi.astype(jnp.float64)).astype(jnp.float32)
+    tp_cat = jnp.concatenate(
+        [tp_hi, jnp.roll(tp_hi, -1, axis=0), tp_lo, jnp.roll(tp_lo, -1, axis=0)],
+        axis=1,
+    )  # (nT, 4*nbnd)
+    n_tp = tp64.shape[0]
+    iota_tp = jnp.arange(n_tp, dtype=jnp.int32)
+    nb = lkp.n_bnd
+
     def planck_bands(t):
-        tp = jnp.asarray(lkp.totplnk, jnp.float64)  # (nT, nbnd)
-        n = tp.shape[0]
-        loc = (t - lkp.t_planck_min) / lkp.t_planck_delta
-        j = jnp.clip(jnp.floor(loc), 0, n - 2)
-        f = jnp.clip(loc - j, 0.0, 1.0)
-        iota = jnp.arange(n, dtype=jnp.float64)
-        w = jnp.where(iota == j[..., None], 1.0 - f[..., None], 0.0) + jnp.where(
-            iota == j[..., None] + 1.0, f[..., None], 0.0
-        )
-        pb = jax.lax.dot_general(
-            w, tp, (((w.ndim - 1,), (0,)), ((), ())),
+        loc = (t - lkp.t_planck_min) * (1.0 / lkp.t_planck_delta)
+        j = jnp.clip(jnp.floor(loc), 0, n_tp - 2)
+        f = jnp.clip(loc - j, 0.0, 1.0)[..., None]
+        w = (j.astype(jnp.int32)[..., None] == iota_tp).astype(jnp.float32)
+        r = jax.lax.dot_general(
+            w, tp_cat, (((w.ndim - 1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-        )  # (..., nbnd)
-        if mb != lkp.n_bnd:
-            pad = [(0, 0)] * (pb.ndim - 1) + [(0, mb - lkp.n_bnd)]
+        )  # (..., 4*nbnd): exact f32 words of T[j], T[j+1]
+        v0 = r[..., 0:nb].astype(jnp.float64) + r[..., 2 * nb : 3 * nb].astype(jnp.float64)
+        v1 = r[..., nb : 2 * nb].astype(jnp.float64) + r[..., 3 * nb :].astype(jnp.float64)
+        pb = (1.0 - f) * v0 + f * v1
+        if mb != nb:
+            pad = [(0, 0)] * (pb.ndim - 1) + [(0, mb - nb)]
             pb = jnp.pad(pb, pad)
         return pb
 
@@ -818,10 +831,11 @@ def _df64_prologue(lkp, tables, as_, bcs, *, window, eta_node_mode):
     eh, el = _df_pair_cols(emis64)
     emis_op = jnp.concatenate([eh, el], axis=0)  # (2mb, ncol)
 
-    # minor gases: exact f64 XLA, shipped as one spectral pair
-    # (compute_tau_minor uses 4-point gathers — reformulated in r5 after the
-    # one-hot neta temporaries measured as ~3/4 of this prologue)
-    tau_minor = compute_tau_minor(
+    # minor gases: exact f64 XLA, shipped as one spectral pair. The gather
+    # formulation lowers to serial while-loops on TPU (profiled at ~250 of
+    # the prologue's 324 ms at 8k cols); this MXU form extracts the 4
+    # (temp, eta) nodes EXACTLY with one-hot f32 dots instead
+    tau_minor = _tau_minor_f64_mxu(
         lkp, as_.vmr, as_.col_dry, as_.p_lay, as_.t_lay, pt, _bl_to_bt(eta)
     )
     gp = gpt_pad(lkp.n_gpt)
@@ -834,6 +848,207 @@ def _df64_prologue(lkp, tables, as_, bcs, *, window, eta_node_mode):
     )
     return (q_base, pack, eta1, eta2, plk_lay, plk_lev, plk_sfc, emis_op,
             tm_h, tm_l, ok)
+
+
+def _recip_f64_fast(x64):
+    """1/x in f64 via an f32 seed + one Newton step (mul/sub only).
+
+    XLA emulates f64 divide/log/exp on TPU as serial while-loops (profiled
+    at ~200 ms of the df64 prologue); f64 mul/add are cheap (~4x f32,
+    benchmarks/f64_split.py). Seed rel error ~2^-22 squares to ~2^-44.
+    """
+    r1 = (1.0 / x64.astype(jnp.float32)).astype(jnp.float64)
+    return r1 * (2.0 - x64 * r1)
+
+
+def _log_f64_fast(p64):
+    """ln(x) in f64 without f64 transcendental emulation: f32 log seed,
+    df32 exp of the seed (2^-44), Newton reciprocal, and a 3-term ln(1+x)
+    series on the ~2^-22 residual (truncation ~2^-88)."""
+    from .df32 import df_exp, from_f64
+
+    l1 = jnp.log(p64.astype(jnp.float32)).astype(jnp.float64)
+    e = df_exp(from_f64(l1))
+    e64 = e[0].astype(jnp.float64) + e[1].astype(jnp.float64)
+    x = p64 * _recip_f64_fast(e64) - 1.0
+    return l1 + x - 0.5 * x * x + (x * x * x) * (1.0 / 3.0)
+
+
+def _pt_interp_fast(lkp, p_lay, t_lay):
+    """compute_pt_interp with the f64 log/divides replaced by fast forms
+    (identical indices/fractions to ~2^-44; used only by the df64
+    prologue — the exact paths keep gas_optics.compute_pt_interp)."""
+    from .gas_optics import PTInterp
+
+    loc_t = (t_lay - lkp.t_ref_min) * (1.0 / lkp.t_ref_delta)
+    jtemp = jnp.clip(jnp.floor(loc_t), 0, lkp.n_temp - 2).astype(jnp.int32)
+    ftemp = loc_t - jtemp
+    log_p = _log_f64_fast(p_lay)
+    loc_p = (lkp.ln_p_ref_max - log_p) * (1.0 / lkp.ln_p_ref_delta)
+    jp = jnp.clip(jnp.floor(loc_p), 0, lkp.n_press - 2).astype(jnp.int32)
+    fpress = loc_p - jp
+    tropo_lower = p_lay > lkp.p_ref_tropo
+    jpress_base = jp + jnp.where(tropo_lower, 0, 1)
+    return PTInterp(jtemp, ftemp, jpress_base, fpress, tropo_lower)
+
+
+def _eta_interp_bl_fast(lkp, vmr, pt, nbnd_out=None, node_mode="continuous"):
+    """compute_eta_interp_bl with the per-band f64 divide replaced by the
+    Newton-reciprocal form (~2^-44; df64-prologue-only)."""
+    from .gas_optics import _eta_frac, get_vmr
+
+    nbnd = lkp.n_bnd
+    mb = nbnd_out if (nbnd_out is not None and nbnd_out > nbnd) else nbnd
+    n_eta = lkp.n_eta
+    dtype = lkp.eta_half.dtype
+    shape2d = pt.jtemp.shape
+    nlay, ncol = shape2d
+
+    def vmr_stack(slot, t):
+        return jnp.stack(
+            [
+                jnp.broadcast_to(
+                    get_vmr(vmr, lkp.key_species[min(b, nbnd - 1)][t][slot]),
+                    shape2d,
+                )
+                for b in range(mb)
+            ],
+            axis=0,
+        ).astype(dtype)
+
+    sel = pt.tropo_lower[None]
+    vmr1 = jnp.where(sel, vmr_stack(0, 0), vmr_stack(0, 1))
+    vmr2 = jnp.where(sel, vmr_stack(1, 0), vmr_stack(1, 1))
+
+    eh = jnp.transpose(lkp.eta_half, (2, 0, 1))
+    if mb != nbnd:
+        eh = jnp.pad(eh, ((0, 0), (0, mb - nbnd), (0, 0)))
+    ntemp = eh.shape[0]
+    eh2 = jnp.asarray(eh.reshape(ntemp, -1), jnp.float64)
+    eh_cat64 = jnp.concatenate([eh2, jnp.roll(eh2, -1, axis=0)], axis=1)
+    # exact f32-split extraction (an f64 dot_general while-emulates on TPU)
+    ec_hi = eh_cat64.astype(jnp.float32)
+    ec_lo = (eh_cat64 - ec_hi.astype(jnp.float64)).astype(jnp.float32)
+    nb2 = eh_cat64.shape[1]
+    iota_t = jnp.arange(ntemp, dtype=jnp.int32)
+    w_t = (pt.jtemp.reshape(-1)[None] == iota_t[:, None]).astype(jnp.float32)
+    r = jax.lax.dot_general(
+        jnp.concatenate([ec_hi, ec_lo], axis=1).T, w_t,
+        (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST,
+    )  # (2*nb2, N)
+    ehg_both = (
+        r[:nb2].astype(jnp.float64) + r[nb2:].astype(jnp.float64)
+    ).reshape(2, mb, 2, nlay, ncol)
+
+    from .gas_optics import EtaInterp
+
+    outs = []
+    for itemp in (0, 1):
+        eta_half = jnp.where(sel, ehg_both[itemp, :, 0], ehg_both[itemp, :, 1])
+        col_mix = vmr1 + eta_half * vmr2
+        pos = col_mix > 0.0
+        eta = jnp.where(
+            pos,
+            vmr1 * _recip_f64_fast(jnp.where(pos, col_mix, 1.0)),
+            0.5,
+        )
+        # exact-node guard: vmr2 == 0 means eta == 1 EXACTLY (common on
+        # real data) — the Newton reciprocal's 2^-44 wobble would otherwise
+        # land loc_eta just off the node, where the "reference" node
+        # semantics (full-cell jump, gas_optics._eta_frac) diverge
+        eta = jnp.where(pos & (vmr2 == 0.0), 1.0, eta)
+        loc_eta = eta * (n_eta - 1)
+        jeta_f = jnp.minimum(jnp.floor(loc_eta), n_eta - 2)
+        jeta = jeta_f.astype(jnp.int32)
+        feta = _eta_frac(loc_eta, jeta_f, node_mode)
+        outs.append((jeta, feta, col_mix))
+    (j1, f1, c1), (j2, f2, c2) = outs
+    return EtaInterp(j1, f1, j2, f2, c1, c2)
+
+
+def _tau_minor_f64_mxu(lkp, vmr, col_dry, p_lay, t_lay, pt, eta):
+    """Minor-gas tau in f64 with MXU-friendly exact node extraction.
+
+    Same arithmetic as gas_optics.compute_tau_minor (ref gas_optics.jl:
+    255-306). Each interval's 2x2 (temp, eta) interpolation nodes are
+    EXTRACTED via one-hot f32 dots over the combined (temp*neta) row axis —
+    one dot per temp node per interval, against [T_hi | roll(T_hi) | T_lo |
+    roll(T_lo)] so the (e, e+1) pair comes from a single one-hot (the roll
+    supplies e+1). A one-hot f32 dot at HIGHEST precision picks a single
+    row exactly, and the f64 table splits exactly into two f32 words, so
+    the extracted f64 values are EXACT; the interpolation weights then
+    combine in true f64 on the VPU. TPU-only motivation: XLA lowers the
+    equivalent row gather to serial while-loops (measured ~250 ms of the
+    8k-col df64 prologue; this form ~20 ms)."""
+    from .gas_optics import get_vmr, gpt2band_np
+
+    nlay, ncol = p_lay.shape
+    dtype = col_dry.dtype
+    neta = lkp.n_eta
+    ntemp = lkp.n_temp
+    N = nlay * ncol
+    tau = jnp.zeros((nlay, ncol, lkp.n_gpt), dtype)
+
+    vmr_h2o = get_vmr(vmr, lkp.idx_h2o)
+    dry_fact = _recip_f64_fast(1.0 + jnp.broadcast_to(vmr_h2o, p_lay.shape))
+    density_fact = 0.01 * p_lay * _recip_f64_fast(t_lay)
+    ft = pt.ftemp[..., None].astype(dtype)
+    iota = jnp.arange(ntemp * neta, dtype=jnp.int32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def extract(K2_64, idx):
+        """(ntemp*neta, ng) f64 table, (nlay, ncol) int rows ->
+        f64 (nlay, ncol, ng) values at idx and idx+1 (exact)."""
+        hi = K2_64.astype(jnp.float32)
+        lo = (K2_64 - hi.astype(jnp.float64)).astype(jnp.float32)
+        cat = jnp.concatenate(
+            [hi, jnp.roll(hi, -1, axis=0), lo, jnp.roll(lo, -1, axis=0)],
+            axis=1,
+        )
+        w = (idx.reshape(-1)[:, None] == iota[None, :]).astype(jnp.float32)
+        r = jax.lax.dot_general(
+            w, cat, (((1,), (0,)), ((), ())), precision=hp
+        )  # (N, 4*ng)
+        ng = K2_64.shape[1]
+        v0 = r[:, 0:ng].astype(jnp.float64) + r[:, 2 * ng : 3 * ng].astype(jnp.float64)
+        v1 = r[:, ng : 2 * ng].astype(jnp.float64) + r[:, 3 * ng :].astype(jnp.float64)
+        return v0.reshape(nlay, ncol, ng), v1.reshape(nlay, ncol, ng)
+
+    g2b = gpt2band_np(lkp)
+    for tropo, intervals, kminor in (
+        (0, lkp.minor_lower, lkp.kminor_lower),
+        (1, lkp.minor_upper, lkp.kminor_upper),
+    ):
+        mask = pt.tropo_lower if tropo == 0 else jnp.logical_not(pt.tropo_lower)
+        for itv in intervals:
+            if itv.gas == 0:
+                continue
+            vmr_m = get_vmr(vmr, itv.gas)
+            scaling = vmr_m * col_dry
+            if itv.scales_with_density:
+                scaling = scaling * density_fact
+                if itv.scaling_gas > 0:
+                    sg = get_vmr(vmr, itv.scaling_gas)
+                    if itv.scale_by_complement:
+                        scaling = scaling * (1.0 - sg * dry_fact)
+                    else:
+                        scaling = scaling * (sg * dry_fact)
+            ng = itv.gpt1 - itv.gpt0
+            ibnd = int(g2b[itv.gpt0])
+            krows = kminor[itv.k0 : itv.k0 + ng]          # (ng, nt, neta)
+            K2 = jnp.asarray(krows, jnp.float64).transpose(1, 2, 0).reshape(
+                ntemp * neta, ng
+            )
+            fe1 = eta.feta1[:, :, ibnd][..., None].astype(dtype)
+            fe2 = eta.feta2[:, :, ibnd][..., None].astype(dtype)
+            r00, r01 = extract(K2, pt.jtemp * neta + eta.jeta1[:, :, ibnd])
+            r10, r11 = extract(K2, (pt.jtemp + 1) * neta + eta.jeta2[:, :, ibnd])
+            v1 = (1.0 - fe1) * r00 + fe1 * r01
+            v2 = (1.0 - fe2) * r10 + fe2 * r11
+            contrib = (1.0 - ft) * v1 + ft * v2
+            contrib = contrib * (scaling * jnp.where(mask, 1.0, 0.0))[..., None]
+            tau = tau.at[:, :, itv.gpt0 : itv.gpt1].add(contrib)
+    return tau
 
 
 def _bl_to_bt(eta):

@@ -87,3 +87,21 @@ def test_df64_table_slices_reconstruct(prob):
     # tiny entries whose deep slices go subnormal degrade gracefully
     assert np.median(rel) < 2**-30
     assert rel.max() < 2**-22
+
+
+def test_tau_minor_mxu_matches_gather_form(prob):
+    """The df prologue's one-hot-extraction minor tau equals the gather
+    formulation (compute_tau_minor) to f64 roundoff."""
+    from rrtmgp_tpu.ops.gas_optics import (
+        compute_eta_interp_bl,
+        compute_pt_interp,
+        compute_tau_minor,
+    )
+    from rrtmgp_tpu.ops.pallas_mega_df import _bl_to_bt, _tau_minor_f64_mxu
+
+    lkp, atm, bcs, tabs, win = prob
+    pt = compute_pt_interp(lkp, atm.p_lay, atm.t_lay)
+    eta = _bl_to_bt(compute_eta_interp_bl(lkp, atm.vmr, pt, nbnd_out=8))
+    a = compute_tau_minor(lkp, atm.vmr, atm.col_dry, atm.p_lay, atm.t_lay, pt, eta)
+    b = _tau_minor_f64_mxu(lkp, atm.vmr, atm.col_dry, atm.p_lay, atm.t_lay, pt, eta)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-13, atol=0)
