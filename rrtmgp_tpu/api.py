@@ -413,11 +413,12 @@ class RRTMGPSolver:
                 # chunk is a FREE choice: the chunked solve edge-pads columns
                 # up to a chunk multiple and slices back, so don't restrict to
                 # divisors of ncol0 (a prime ncol would collapse the divisor
-                # to 1 = one lax.map step per column). Granule 128 on the
-                # Pallas path keeps every chunk kernel-aligned (and divides
-                # the 128-padded column count _col_aligned may have produced).
-                gran = 128 if use_pallas else 1
-                self.auto_chunk = max(cmax // gran, 1) * gran
+                # to 1 = one lax.map step per column). The largest power of
+                # two <= cmax divides typical column counts exactly and
+                # bounds pad waste; the Pallas path needs >= 128 for kernel
+                # alignment (and then divides the 128-padded count).
+                pow2 = 1 << (cmax.bit_length() - 1)
+                self.auto_chunk = max(pow2, 128) if use_pallas else pow2
                 _warnings.warn(
                     f"f64 solve at ncol={ncol0} would materialize "
                     f"~{ncol0 * per_col / 1e9:.1f} GB of spectral tensors; "

@@ -8,11 +8,11 @@ building blocks for a SPLIT-PRECISION f64 tier (VERDICT r4 #3): numbers are
 native-f32 VPU arithmetic — a few f32 issues per op instead of XLA's f64
 emulation sequences.
 
-Every function here is pure jnp on f32 arrays, so it runs identically in
-plain XLA and inside Pallas TPU kernels. No hardware FMA is assumed: the
-error-free product uses Veltkamp splitting (exact in pure f32 mul/add), so
-the algorithms stay correct whether or not the compiler contracts a*b+c
-into an FMA (contraction only removes error terms, never adds them).
+Every function here is pure jnp on f32 arrays, so it runs in plain XLA
+and inside Pallas TPU kernels. Mosaic (the real TPU target) compiles the
+ops individually and is verified exact on chip; XLA:CPU can contract the
+error-free transforms inside fusions — see the CONTRACTION HAZARD note
+below for the measured failure mode and which pieces are hardened.
 
 References (algorithms are classical, public domain):
 - Dekker 1971, "A floating-point technique for extending the available
@@ -20,9 +20,9 @@ References (algorithms are classical, public domain):
 - Hida, Li, Bailey 2000 (QD library): double-double exp via base-2 range
   reduction + polynomial.
 
-Used by the df64 LW solve tier (ops/gas_optics_df.py, ops/rte_df.py) and
-gated on-chip against the exact XLA f64 path at the reference's f64
-clear-sky tolerance (1e-4 W/m^2, /root/reference/test/runtests.jl:21-23).
+Used by the df64 LW solve tier (ops/pallas_mega_df.py) and gated on-chip
+against the exact XLA f64 path at the reference's f64 clear-sky tolerance
+(1e-4 W/m^2, /root/reference/test/runtests.jl:21-23).
 """
 
 from __future__ import annotations
@@ -32,8 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 _F32 = jnp.float32
-# Veltkamp split constant for f32 (24-bit mantissa): 2^12 + 1
-_SPLIT = np.float32(4097.0)
 
 
 def _f(x):

@@ -58,7 +58,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import pallas_interp as pk
 from .df32 import (
     df_add,
     df_add_f,
@@ -70,7 +69,7 @@ from .df32 import (
     fast_two_sum,
     two_sum,
 )
-from .gas_optics import compute_eta_interp_bl, compute_pt_interp, compute_tau_minor
+from .gas_optics import compute_pt_interp
 from .pallas_interp import gpt_pad, rows_per_slab
 
 
@@ -274,8 +273,6 @@ def _lw_df_kernel(
 
     m6 = m6_ref[:]
     mb = m6.shape[0] // 6
-    i2f = float(jnp.pi) * w_mu
-    f2i = 1.0 / i2f
     eps64 = float(np.finfo(np.float64).eps)
     tau_thresh = 100.0 * eps64   # the f64 path's threshold (rte.py _eps)
 
@@ -299,7 +296,6 @@ def _lw_df_kernel(
         return df_add(a, b)
 
     zero = jnp.zeros((b_cols, G), jnp.float32)
-    zero_pair = (zero, zero)
 
     def optics_step(i, carry):
         l = _i(nlay - 1) - i
@@ -842,10 +838,6 @@ def _df64_prologue(lkp, tables, as_, bcs, *, window, eta_node_mode):
     if gp != lkp.n_gpt:
         tau_minor = jnp.pad(tau_minor, ((0, 0), (0, 0), (0, gp - lkp.n_gpt)))
     tm_h, tm_l = _df_pair_cols(tau_minor)
-
-    q_base, ok = mega4_window_bases(
-        pt.jpress_base * rps + pt.jtemp, rps, tables.n_rows, window
-    )
     return (q_base, pack, eta1, eta2, plk_lay, plk_lev, plk_sfc, emis_op,
             tm_h, tm_l, ok)
 

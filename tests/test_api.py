@@ -162,13 +162,13 @@ def test_f64_auto_chunk(monkeypatch):
     f_lw_ref = s_ref.update_lw_fluxes()
     f_sw_ref = s_ref.update_sw_fluxes()
 
-    # tiny budget: per_col = nlay*ngpt*8*34 B -> cmax=3 -> chunk=3 at ncol=8
-    # (budget-derived, NOT a divisor of ncol: the chunked solve edge-pads
-    # columns to a chunk multiple and slices back)
+    # tiny budget: per_col = nlay*ngpt*8*34 B -> cmax=3 -> chunk = largest
+    # power of two <= cmax = 2 (budget-derived, NOT a divisor of ncol: the
+    # chunked solve edge-pads columns to a chunk multiple and slices back)
     monkeypatch.setenv("RRTMGP_CHUNK_BUDGET_GB", "0.0005")
     with pytest.warns(UserWarning, match="auto-chunking"):
         s = _solver(method)
-    assert s.auto_chunk == 3
+    assert s.auto_chunk == 2
     f_lw = s.update_lw_fluxes()
     f_sw = s.update_sw_fluxes()
     for a, b in ((f_lw, f_lw_ref), (f_sw, f_sw_ref)):

@@ -47,9 +47,9 @@ def _body():
             gp, rt.ClearSkyRadiation(False), rt.RRTMGPParameters(),
             bcs_lw, bcs_sw, atm, lookups=lookups,
         )
-    # 8 GB default budget, ~4.2 MB/col at this spectral size -> 1024-col chunks
-    assert s.auto_chunk is not None and NCOL % s.auto_chunk == 0
-    assert s.auto_chunk <= 2048
+    # 8 GB default budget, ~4.2 MB/col at this spectral size -> cmax ~1914
+    # -> chunk = largest power of two <= cmax = 1024 (divides 8192)
+    assert s.auto_chunk == 1024
 
     flw = s.update_lw_fluxes()
     fsw = s.update_sw_fluxes()
