@@ -253,6 +253,11 @@ class RRTMGPSolver:
         # (/root/reference/src/optics/RTE.jl:61-70) but runs angle 1; here
         # n_gauss_angles > 1 sums the no-scat sweep over the quadrature.
         # Ignored by two-stream LW and by SW (as in the reference).
+        # PERF NOTE (measured, PARITY.md): >1 leaves the single-kernel
+        # megakernel path (the fused sweep bakes one propagation angle) for
+        # the two-kernel path with the sweep re-run per angle — 2 angles
+        # run at ~42% of the 1-angle rate at 32k cols (3 angles ~39%);
+        # budget ~2.5x for Hogan-2023's 2-3-angle guidance.
         self.n_gauss_angles = n_gauss_angles
         # Multi-chip: a 1-D jax.sharding.Mesh over the column axis
         # (parallel.sharding.make_column_mesh). The solves are shard_mapped —

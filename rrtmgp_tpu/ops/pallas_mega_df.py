@@ -26,13 +26,17 @@ f64 path — the reference's headline f64 tolerance,
   exact; every output group sums exactly in f32). Interpolation weights
   never enter the MXU: press/eta/temp combining runs on the VPU in df32.
 - Prologue (pressure/temperature/eta fractions, col_mix, col_dry, band
-  Planck values, surface emissivity) computed in TRUE f64 XLA — these are
-  band-granular (no gpt axis), so the f64 cost is negligible — and shipped
-  to the kernel as exact hi/lo pairs.
-- Minor gases: computed by the exact XLA f64 path (compute_tau_minor) and
-  streamed into the kernel as ONE (nlay, ncol, ngpt) hi/lo pair — the one
-  spectral-sized input this tier materializes (~2 tensors vs the f64
-  path's ~34). Ragged minor intervals stay out of the kernel.
+  Planck values, surface emissivity) computed in f64 XLA and shipped to
+  the kernel as exact hi/lo pairs. XLA WHILE-EMULATES f64 dot_general,
+  divide, log and exp on TPU (profiled at ~250 ms of an early prologue at
+  8k cols), so table reads use EXACT one-hot f32-split extraction and the
+  transcendentals use f32-seeded Newton/df refinements (mul/add only) —
+  each measured, each within 2^-44 of exact.
+- Minor gases: interpolated by _tau_minor_f64_mxu (exact node extraction,
+  f64 weights) and streamed into the kernel as ONE (nlay, ncol, ngpt)
+  hi/lo pair — the one spectral-sized input this tier materializes (~2
+  tensors vs the f64 path's ~34). Ragged minor intervals stay out of the
+  kernel.
 - Transport: Clough/Taylor source math, exp (ops.df32.df_exp), and both
   radiance recurrences in df32; g-point flux reductions by lane-halving
   df summation (plain f32 lane sums of 256 positive terms cost ~2^-21

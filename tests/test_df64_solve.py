@@ -105,3 +105,15 @@ def test_tau_minor_mxu_matches_gather_form(prob):
     a = compute_tau_minor(lkp, atm.vmr, atm.col_dry, atm.p_lay, atm.t_lay, pt, eta)
     b = _tau_minor_f64_mxu(lkp, atm.vmr, atm.col_dry, atm.p_lay, atm.t_lay, pt, eta)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-13, atol=0)
+
+
+def test_df64_multi_angle(prob):
+    """n_gauss_angles > 1: the df64 tier sums the kernel over the quadrature
+    like the XLA path (angular.py weights)."""
+    lkp, atm, bcs, tabs, win = prob
+    flux_ref, _ = jax.jit(
+        lambda a, b: solve_lw(lkp, a, b, n_gauss_angles=2)
+    )(atm, bcs)
+    up, dn = solve_lw_df64(lkp, tabs, atm, bcs, window=win, n_gauss_angles=2)
+    assert float(jnp.max(jnp.abs(up - flux_ref.flux_up))) <= 1e-4
+    assert float(jnp.max(jnp.abs(dn - flux_ref.flux_dn))) <= 1e-4
