@@ -18,7 +18,9 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-NCOL = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+# default 2048: this harness calls solve_lw/solve_sw DIRECTLY (no solver
+# auto-chunk), and the unchunked f64 pair at 8192 cols requests ~33 GB
+NCOL = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 NLAY = 60
 F32_CHILD = "--f32-child" in sys.argv
 

@@ -150,11 +150,16 @@ def compute_eta_interp(
     # of roll is never selected)
     eh_cat = jnp.concatenate([eh2, jnp.roll(eh2, -1, axis=0)], axis=1)
     iota_t = jnp.arange(ntemp, dtype=jnp.int32)
-    w_t = (pt.jtemp[..., None] == iota_t).astype(eh2.dtype)  # (nlay, ncol, ntemp)
-    ehg_both = jax.lax.dot_general(
-        w_t, eh_cat, (((w_t.ndim - 1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (nlay, ncol, 2 * nbnd * 2)
+    if dtype == jnp.float64:
+        # f64 dot_general while-emulates on TPU; exact f32-split extraction
+        w_t32 = (pt.jtemp[..., None] == iota_t).astype(jnp.float32)
+        ehg_both = _f64_dot_extract(w_t32, jnp.asarray(eh_cat, jnp.float64))
+    else:
+        w_t = (pt.jtemp[..., None] == iota_t).astype(eh2.dtype)
+        ehg_both = jax.lax.dot_general(
+            w_t, eh_cat, (((w_t.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (nlay, ncol, 2 * nbnd * 2)
     nb2 = eh2.shape[1]
 
     outs = []
@@ -236,11 +241,17 @@ def compute_eta_interp_bl(
     eh2 = eh.reshape(ntemp, -1)                           # (ntemp, mb*2)
     eh_cat = jnp.concatenate([eh2, jnp.roll(eh2, -1, axis=0)], axis=1)
     iota_t = jnp.arange(ntemp, dtype=jnp.int32)
-    w_t = (pt.jtemp.reshape(-1)[None] == iota_t[:, None]).astype(eh2.dtype)
-    ehg_both = jax.lax.dot_general(
-        eh_cat.T, w_t, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(2, mb, 2, nlay, ncol)  # (itemp*nb2 order: itemp, band, slot)
+    if dtype == jnp.float64:
+        w_t32 = (pt.jtemp.reshape(-1)[:, None] == iota_t[None, :]).astype(jnp.float32)
+        ehg_both = jnp.moveaxis(
+            _f64_dot_extract(w_t32, jnp.asarray(eh_cat, jnp.float64)), -1, 0
+        ).reshape(2, mb, 2, nlay, ncol)
+    else:
+        w_t = (pt.jtemp.reshape(-1)[None] == iota_t[:, None]).astype(eh2.dtype)
+        ehg_both = jax.lax.dot_general(
+            eh_cat.T, w_t, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(2, mb, 2, nlay, ncol)  # (itemp*nb2 order: itemp, band, slot)
 
     outs = []
     for itemp in (0, 1):
@@ -263,6 +274,25 @@ def gpt2band_np(lkp: GasLookup) -> np.ndarray:
     for ibnd, (g0, g1) in enumerate(lkp.bnd_lims_gpt):
         g2b[g0:g1] = ibnd
     return g2b
+
+
+def _f64_dot_extract(w_f32, table64, cols_exact=True):
+    """dot(one-hot w, f64 table) computed EXACTLY with two f32 dots.
+
+    XLA while-emulates f64 dot_general on TPU (measured r5: the Planck and
+    eta-half gathers were ~200 ms of an 8k-column f64 prologue). A one-hot
+    f32 dot at HIGHEST precision picks rows exactly, and an f64 value
+    splits exactly into two f32 words, so hi/lo extraction + f64 recombine
+    is BITWISE the gathered value."""
+    hi = table64.astype(jnp.float32)
+    lo = (table64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    cat = jnp.concatenate([hi, lo], axis=1)
+    r = jax.lax.dot_general(
+        w_f32, cat, (((w_f32.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n = table64.shape[1]
+    return r[..., :n].astype(jnp.float64) + r[..., n:].astype(jnp.float64)
 
 
 def _eta_onehot(je: jax.Array, fe: jax.Array, n_eta: int, dtype):
@@ -454,11 +484,35 @@ def _planck_bands_to_gpt(lkp: GasLookup, t):
     loc = (t - lkp.t_planck_min) / lkp.t_planck_delta
     j = jnp.clip(jnp.floor(loc), 0, n - 2)
     f = jnp.clip(loc - j, 0.0, 1.0)  # clamp => y[0] / y[-1] outside the grid
+    hp = jax.lax.Precision.HIGHEST
+    if dtype == jnp.float64:
+        # f64 dot_general while-emulates on TPU (measured, PARITY r5):
+        # extract rows T[j], T[j+1] exactly with f32-split one-hot dots
+        # ([tp | roll(tp)] supplies j+1 from the same one-hot) and apply
+        # the f64 weights elementwise — the SAME two products + one add
+        # the 2-hot dot performed
+        tp64 = jnp.asarray(tp, jnp.float64)
+        tp_cat = jnp.concatenate([tp64, jnp.roll(tp64, -1, axis=0)], axis=1)
+        w32 = (j.astype(jnp.int32)[..., None] == jnp.arange(n, dtype=jnp.int32)
+               ).astype(jnp.float32)
+        both = _f64_dot_extract(w32, tp_cat)  # (..., 2*nbnd)
+        nbnd = tp.shape[1]
+        fx = f[..., None]
+        per_band = (1.0 - fx) * both[..., :nbnd] + fx * both[..., nbnd:]
+        # band->gpt expansion as static lane broadcasts (exact, dot-free)
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    per_band[..., i : i + 1], (*per_band.shape[:-1], g1 - g0)
+                )
+                for i, (g0, g1) in enumerate(lkp.bnd_lims_gpt)
+            ],
+            axis=-1,
+        )
     iota = jnp.arange(n, dtype=dtype)
     w = jnp.where(iota == j[..., None], 1.0 - f[..., None], 0.0) + jnp.where(
         iota == j[..., None] + 1.0, f[..., None], 0.0
     )  # (..., ncol, n_t_plnk)
-    hp = jax.lax.Precision.HIGHEST
     per_band = jax.lax.dot_general(
         w, tp.astype(dtype), (((w.ndim - 1,), (0,)), ((), ())), precision=hp
     )  # (..., ncol, nbnd)
