@@ -700,15 +700,21 @@ def solve_lw_df64(
     mb = -(-lkp.n_bnd // 8) * 8
 
     # the whole f64 prologue runs as ONE jit (eager per-primitive dispatch
-    # through the tunnel costs seconds); cached per configuration
+    # through the tunnel costs seconds); cached per configuration. The
+    # cache VALUE keeps strong references to (lkp, tables): the key uses
+    # id(), which the interpreter reuses after garbage collection — without
+    # the pinned refs a recycled id could serve a jit with STALE baked
+    # tables.
     key = (id(lkp), id(tables), window, eta_node_mode, nlay, ncol)
-    fn = _PROLOGUE_CACHE.get(key)
-    if fn is None:
+    hit = _PROLOGUE_CACHE.get(key)
+    if hit is None:
         fn = jax.jit(functools.partial(
             _df64_prologue, lkp, tables, window=window,
             eta_node_mode=eta_node_mode,
         ))
-        _PROLOGUE_CACHE[key] = fn
+        _PROLOGUE_CACHE[key] = (fn, lkp, tables)
+    else:
+        fn = hit[0]
     (q_base, pack, eta1, eta2, plk_lay, plk_lev, plk_sfc, emis_op,
      tm_h, tm_l, ok) = fn(as_, bcs)
 
